@@ -1,0 +1,14 @@
+"""High-level DSP pipelines ("model" layer) for dsc_tpu.
+
+The reference framework has no neural models (SURVEY §0); its flagship
+end-to-end workloads are the README filterFFT convolution
+(reference README.md:110-137) and the STFT spectrogram pipeline
+(BASELINE.json configs 1 and 4). These pipelines are the framework's
+model family: stateful, reusable, jit-friendly graphs built on the dsc op
+set.
+"""
+
+from .filter_fft import FilterFFT, fft_convolve
+from .stft import STFT, spectrogram
+
+__all__ = ['FilterFFT', 'fft_convolve', 'STFT', 'spectrogram']

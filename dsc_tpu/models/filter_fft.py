@@ -1,0 +1,59 @@
+"""FFT-based convolution (the reference README's filterFFT example,
+README.md:110-137): out = irfft(rfft(signal) * rfft(taps))[:n+taps-1].
+
+``FilterFFT`` precomputes the kernel spectrum once (the "weights") and
+reuses it across calls — the TPU-idiomatic shape for a streaming filter.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .. import fft as dsc_fft
+from ..fft.plan import next_pow2
+from ..tensor import Tensor, from_numpy, mul
+
+
+def fft_convolve(signal: Tensor, taps: Tensor, mode: str = 'full') -> Tensor:
+    """1-D convolution via the frequency domain (np.convolve semantics for
+    mode='full'/'same')."""
+    n = signal.shape[-1]
+    k = taps.shape[-1]
+    out_len = n + k - 1
+    fft_n = next_pow2(out_len)
+    spec = mul(
+        dsc_fft.rfft(signal, n=fft_n),
+        dsc_fft.rfft(taps, n=fft_n),
+    )
+    full = dsc_fft.irfft(spec)[:out_len]
+    if mode == 'full':
+        return full
+    if mode == 'same':
+        start = (k - 1) // 2
+        return full[start : start + n]
+    raise RuntimeError(f'unknown convolution mode {mode!r}')
+
+
+class FilterFFT:
+    """Streaming FIR filter: kernel spectrum cached, one rfft+mul+irfft per
+    call."""
+
+    def __init__(self, taps, block_size: int):
+        if isinstance(taps, np.ndarray):
+            taps = from_numpy(taps)
+        self.n_taps = taps.shape[-1]
+        self.block_size = block_size
+        self.out_len = block_size + self.n_taps - 1
+        self.fft_n = next_pow2(self.out_len)
+        self.kernel_spec = dsc_fft.rfft(taps, n=self.fft_n)
+
+    def __call__(self, block: Tensor) -> Tensor:
+        if block.shape[-1] != self.block_size:
+            raise RuntimeError(
+                f'expected block of {self.block_size} samples, '
+                f'got {block.shape[-1]}'
+            )
+        spec = mul(dsc_fft.rfft(block, n=self.fft_n), self.kernel_spec)
+        return dsc_fft.irfft(spec)[: self.out_len]

@@ -1,0 +1,84 @@
+"""STFT / spectrogram pipeline (BASELINE.json config 4: sliding-window rfft
++ |.|^2 + log over streaming audio, traced end-to-end with dsc.profile()).
+
+Framing uses a strided gather expressed as reshape+slice so XLA lowers it to
+pure data movement; the window multiply fuses into the rfft input pass.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import tracing
+from ..fft import core as fft_core
+from ..fft import plan as fft_plan
+from ..tensor import Tensor
+
+
+@partial(jax.jit, static_argnames=('frame', 'hop', 'n_frames'))
+def _frame_signal(x, frame, hop, n_frames):
+    idx = jnp.arange(n_frames) * hop
+    return jax.vmap(lambda i: jax.lax.dynamic_slice(x, (i,), (frame,)))(idx)
+
+
+@partial(jax.jit, static_argnames=('spec', 'fft_n', 'log_eps'))
+def _stft_kernel(frames, window, tables, spec, fft_n, log_eps):
+    fx = frames * window[None, :]
+    z = fft_core.rfft_batched(fx, spec, tables, fft_n)
+    power = jnp.real(z) ** 2 + jnp.imag(z) ** 2
+    if log_eps is not None:
+        power = jnp.log(power + log_eps)
+    return power
+
+
+class STFT:
+    """Short-time Fourier transform producing (log-)power spectrograms."""
+
+    def __init__(
+        self,
+        frame: int = 1024,
+        hop: int = 256,
+        window: str = 'hann',
+        log: bool = True,
+        log_eps: float = 1e-10,
+    ):
+        self.frame = frame
+        self.hop = hop
+        self.fft_n = fft_plan.next_pow2(frame)
+        self.log_eps = log_eps if log else None
+        if window == 'hann':
+            win = np.hanning(frame)
+        elif window == 'blackman':
+            win = np.blackman(frame)
+        elif window in (None, 'rect'):
+            win = np.ones(frame)
+        else:
+            raise RuntimeError(f'unknown window {window!r}')
+        self._window = jnp.asarray(win.astype(np.float32))
+
+    def __call__(self, x: Tensor) -> Tensor:
+        """x: (n,) f32 -> (n_frames, fft_n//2+1) f32 (log-)power."""
+        n = x.shape[-1]
+        if n < self.frame:
+            raise RuntimeError(f'signal ({n}) shorter than frame ({self.frame})')
+        n_frames = 1 + (n - self.frame) // self.hop
+        spec, tables = fft_plan.get_plan(self.fft_n, 'real', np.complex64)
+        with tracing.trace_op(
+            'stft', 'op;pipeline', tracing.tensor_args(x=x)
+        ) as tr:
+            frames = _frame_signal(x.jax, self.frame, self.hop, n_frames)
+            out = _stft_kernel(
+                frames, self._window, tables, spec, self.fft_n, self.log_eps
+            )
+            if tr:
+                tr.result = out
+        return Tensor._from_jax(out)
+
+
+def spectrogram(x: Tensor, frame: int = 1024, hop: int = 256, **kw) -> Tensor:
+    return STFT(frame=frame, hop=hop, **kw)(x)

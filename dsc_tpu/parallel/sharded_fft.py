@@ -1,0 +1,125 @@
+"""Sharded FFTs over a device mesh.
+
+Two TPU-native parallelism strategies (SURVEY §2.4 obligations):
+
+1. **Batch sharding (DP)** — ``sharded_batched_fft``: each chip transforms
+   its shard of the batch independently; zero communication.
+
+2. **Transform sharding (TP/SP analog)** — ``distributed_fft``: one FFT of
+   n = n1*n2 points factorized Bailey-style across chips. Column FFTs run
+   locally on n2-sharded data, the inter-stage twiddle is sharded with the
+   data, and the four-step "transpose" becomes a single
+   ``jax.lax.all_to_all`` riding ICI. This is the same decomposition the
+   single-chip engine uses for transforms that exceed VMEM (SURVEY §5.7),
+   lifted one level: HBM -> chips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..fft import core as fft_core
+from ..fft import plan as fft_plan
+
+
+def shard_batch(x: jax.Array, mesh: Mesh, axis: str = 'data') -> jax.Array:
+    """Place a (batch, ...) array with the batch dim sharded over ``axis``."""
+    spec = P(axis, *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def sharded_batched_fft(
+    x: jax.Array, mesh: Mesh, inverse: bool = False, axis: str = 'data'
+) -> jax.Array:
+    """Batched FFT with the batch dimension sharded over the mesh (DP).
+    x: (b, n) complex, b divisible by mesh axis size."""
+    n = x.shape[-1]
+    spec, tables = fft_plan.get_plan(n, 'complex', x.dtype)
+    sharding = NamedSharding(mesh, P(axis, None))
+
+    @partial(jax.jit, static_argnames=('fspec', 'inv'), out_shardings=sharding)
+    def run(xx, tt, fspec, inv):
+        xx = jax.lax.with_sharding_constraint(xx, sharding)
+        return fft_core.fft_batched(xx, fspec, tt, inv)
+
+    return run(x, tables, fspec=spec, inv=inverse)
+
+
+def _choose_split(n: int, d: int) -> Tuple[int, int]:
+    """n = n1 * n2 with both divisible by the mesh size d."""
+    n1 = 1 << ((n.bit_length() - 1) // 2)
+    n2 = n // n1
+    if n1 % d or n2 % d:
+        raise RuntimeError(
+            f'distributed fft needs n1 ({n1}) and n2 ({n2}) divisible by '
+            f'the mesh axis size ({d})'
+        )
+    return n1, n2
+
+
+def distributed_fft(
+    x: jax.Array, mesh: Mesh, axis: str = 'model', inverse: bool = False
+) -> jax.Array:
+    """FFT of each row of x (b, n), with the *transform* factorized over the
+    mesh axis: local column FFTs -> sharded twiddle -> all_to_all -> local
+    row FFTs. Returns (b, n) in natural order.
+    """
+    b, n = x.shape
+    d = mesh.shape[axis]
+    n1, n2 = _choose_split(n, d)
+    spec1, tables1 = fft_plan.get_plan(n1, 'complex', x.dtype)
+    spec2, tables2 = fft_plan.get_plan(n2, 'complex', x.dtype)
+    # inter-stage twiddle Tt[j2, k1] = exp(-2i*pi*k1*j2/n), sharded over j2
+    # exactly like the data
+    fdt = np.float32 if np.dtype(x.dtype) == np.complex64 else np.float64
+    j2 = np.arange(n2, dtype=np.float64)
+    k1 = np.arange(n1, dtype=np.float64)
+    ang = -2.0 * np.pi * np.outer(j2, k1) / n
+    ttr = jnp.asarray(np.cos(ang).astype(fdt))
+    tti = jnp.asarray(np.sin(ang).astype(fdt))
+
+    def local(xb, ttr_l, tti_l):
+        # xb: (b, n1, n2/d) — this chip's j2 columns
+        bb, _, n2d = xb.shape
+        # column FFTs over j1 (fully local)
+        a = xb.transpose(0, 2, 1).reshape(bb * n2d, n1)
+        a = fft_core.fft_apply(a, spec1, tables1).reshape(bb, n2d, n1)
+        # sharded twiddle: rows j2_local of Tt
+        a = a * jax.lax.complex(ttr_l, tti_l)[None]
+        # the four-step transpose: one all-to-all over ICI
+        # (b, n2/d, n1) -> (b, n2, n1/d)
+        a = jax.lax.all_to_all(a, axis, split_axis=2, concat_axis=1, tiled=True)
+        # row FFTs over j2 (fully local for our k1 shard)
+        n1d = a.shape[2]
+        c = a.transpose(0, 2, 1).reshape(bb * n1d, n2)
+        c = fft_core.fft_apply(c, spec2, tables2).reshape(bb, n1d, n2)
+        return c  # C[b, k1_local, k2]
+
+    xm = x.reshape(b, n1, n2)
+    if inverse:
+        xm = jnp.conj(xm)
+
+    mapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, None, axis), P(axis, None), P(axis, None)),
+        out_specs=P(None, axis, None),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(xm, ttr, tti):
+        c = mapped(xm, ttr, tti)  # (b, n1, n2) sharded over k1
+        out = c.transpose(0, 2, 1).reshape(b, n)  # X[k1 + n1*k2] = C[k1,k2]
+        if inverse:
+            out = jnp.conj(out) * (1.0 / n)
+        return out
+
+    return run(xm, ttr, tti)

@@ -623,7 +623,7 @@ def from_numpy(x: np.ndarray) -> Tensor:
         raise RuntimeError(
             f'cannot create a Tensor with {x.ndim} dimensions, max is {DSC_MAX_DIMS}'
         )
-    return Tensor._from_jax(jnp.asarray(x))
+    return Tensor._from_jax(interop.put(x, _home_device(dt)))
 
 
 def arange(n: int, dtype: Dtype = Dtype.F32) -> Tensor:

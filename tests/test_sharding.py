@@ -1,0 +1,61 @@
+"""Multi-device sharding tests on the 8-way virtual CPU mesh
+(SURVEY §4 implication: xla_force_host_platform_device_count simulation)."""
+
+import jax
+import numpy as np
+import pytest
+
+from dsc_tpu.parallel import (
+    distributed_fft,
+    make_mesh,
+    shard_batch,
+    sharded_batched_fft,
+)
+
+from conftest import all_close
+
+needs_devices = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason='needs 8 (virtual) devices'
+)
+
+
+@needs_devices
+def test_sharded_batched_fft():
+    mesh = make_mesh((8, 1))
+    x = (np.random.randn(16, 256) + 1j * np.random.randn(16, 256)).astype(
+        np.complex64
+    )
+    xd = shard_batch(jax.numpy.asarray(x), mesh)
+    got = np.asarray(sharded_batched_fft(xd, mesh))
+    assert all_close(got, np.fft.fft(x, axis=-1))
+    got_inv = np.asarray(sharded_batched_fft(xd, mesh, inverse=True))
+    assert all_close(got_inv, np.fft.ifft(x, axis=-1))
+
+
+@needs_devices
+def test_distributed_fft_all_to_all():
+    # one FFT factorized over the 'model' axis with an all_to_all exchange
+    mesh = make_mesh((1, 8), axis_names=('data', 'model'))
+    n = 4096  # n1=64, n2=64, both divisible by 8
+    x = (np.random.randn(2, n) + 1j * np.random.randn(2, n)).astype(np.complex64)
+    got = np.asarray(distributed_fft(jax.numpy.asarray(x), mesh))
+    ref = np.fft.fft(x, axis=-1)
+    scale = max(np.abs(ref).max(), 1.0)
+    assert np.abs(got - ref).max() / scale < 1e-5
+
+    got_inv = np.asarray(
+        distributed_fft(jax.numpy.asarray(ref.astype(np.complex64)), mesh,
+                        inverse=True)
+    )
+    assert all_close(got_inv, x, eps=1e-4)
+
+
+@needs_devices
+def test_distributed_fft_2d_mesh():
+    # dp x tp at once: batch on 'data', transform on 'model'
+    mesh = make_mesh((2, 4), axis_names=('data', 'model'))
+    n = 1024  # n1=32, n2=32, divisible by 4
+    x = (np.random.randn(4, n) + 1j * np.random.randn(4, n)).astype(np.complex64)
+    got = np.asarray(distributed_fft(jax.numpy.asarray(x), mesh))
+    ref = np.fft.fft(x, axis=-1)
+    assert np.abs(got - ref).max() / max(np.abs(ref).max(), 1.0) < 1e-5
