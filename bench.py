@@ -3,8 +3,14 @@
 Measures on the default backend (the real TPU chip under the driver):
   - 1-D rfft/irfft of 2^24 float32 (GFLOP/s via 2.5*N*log2(N), the same
     formula the reference uses, benchmarks/python/bench_fft.py:32-78)
-  - elementwise add/mul/exp bandwidth (GB/s) at 256 MiB
+  - 2^24-point complex fft (5*N*log2(N))
+  - elementwise fma / exp bandwidth (GB/s) at 256 MiB
   - accuracy of the 2^24 rfft vs np.fft (north-star bound: 1e-4)
+
+Timing methodology: the axon TPU tunnel adds ~30 ms of fixed latency to
+EVERY dispatch, so per-call wall timing is useless. Each op is iterated
+inside one jitted lax.fori_loop with a *dynamic* trip count, and per-op
+time = (t(2K) - t(K)) / K — constant dispatch overhead cancels exactly.
 
 vs_baseline = dsc rfft GFLOP/s / NumPy rfft GFLOP/s on this host — the
 reference's own positioning metric ("NumPy is X.XX x faster",
@@ -21,25 +27,52 @@ import time
 
 import numpy as np
 
-WARMUP = 2  # reference methodology: 2 warmup calls, min of 5 (perf.md:18-24)
-ITERS = 5
+K_BASE = 8
+REPS = 3
 
 
-def _best(fn) -> float:
-    for _ in range(WARMUP):
-        fn()
-    times = []
-    for _ in range(ITERS):
+def _time(fn) -> float:
+    import jax
+
+    jax.block_until_ready(fn())  # warm
+    best = float('inf')
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_looped(step, state, k_base: int = K_BASE) -> float:
+    """Per-iteration device time of ``state = step(state)`` via the
+    two-count differencing trick."""
+    import jax
+
+    @jax.jit
+    def loop(s, k):
+        return jax.lax.fori_loop(0, k, lambda i, v: step(v), s)
+
+    t1 = _time(lambda: loop(state, k_base))
+    t2 = _time(lambda: loop(state, 2 * k_base))
+    return max((t2 - t1) / k_base, 1e-9)
+
+
+def bench_host(fn) -> float:
+    fn()
+    best = float('inf')
+    for _ in range(3):
         t0 = time.perf_counter()
         fn()
-        times.append(time.perf_counter() - t0)
-    return min(times)
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main() -> None:
     import jax
 
     import dsc_tpu as dsc
+    from dsc_tpu.fourier import core as fft_core
+    from dsc_tpu.fourier import plan as fft_plan
 
     dsc.init(int(8 * 2**30))
     backend = jax.default_backend()
@@ -51,71 +84,69 @@ def main() -> None:
     x_np = rng.standard_normal(n).astype(np.float32)
     x = dsc.from_numpy(x_np)
 
-    # ---- accuracy first (also compiles/warms the plan) -------------------
+    # ---- accuracy (also compiles + warms the plan) ------------------------
     t0 = time.perf_counter()
-    spec = dsc.rfft(x)
-    spec_np = spec.numpy()
+    spec_t = dsc.rfft(x)
+    spec_np = spec_t.numpy()
     print(f'# first rfft incl compile: {time.perf_counter()-t0:.1f}s',
           file=sys.stderr)
     ref = np.fft.rfft(x_np)
     rfft_err = float(np.abs(spec_np - ref).max() / np.abs(ref).max())
-    back = dsc.irfft(spec)
-    irfft_err = float(np.abs(back.numpy() - x_np).max())
-    print(f'# rfft 2^24 rel err vs NumPy: {rfft_err:.3e} '
-          f'(bound 1e-4) | irfft roundtrip abs err: {irfft_err:.3e}',
-          file=sys.stderr)
+    irfft_err = float(np.abs(dsc.irfft(spec_t).numpy() - x_np).max())
+    print(f'# rfft 2^24 rel err vs NumPy: {rfft_err:.3e} (bound 1e-4) | '
+          f'irfft roundtrip abs err: {irfft_err:.3e}', file=sys.stderr)
 
-    # ---- rfft / irfft throughput -----------------------------------------
+    # ---- rfft/irfft throughput (roundtrip chain; 2 transforms per iter) ---
+    rspec, rtables = fft_plan.get_plan(n, 'real', np.complex64)
+
+    def rt_step(v):
+        sp = fft_core.rfft_batched(v, rspec, rtables, n)
+        return fft_core.irfft_batched(sp, rspec, rtables, n)
+
+    t_pair = bench_looped(rt_step, x.jax.reshape(1, n))
+    t_rfft = t_pair / 2  # rfft and irfft are flop/byte-symmetric here
     flops_r = 2.5 * n * logn
-
-    def run_rfft():
-        jax.block_until_ready(dsc.rfft(x).jax)
-
-    t_rfft = _best(run_rfft)
     gflops_rfft = flops_r / t_rfft / 1e9
 
-    def run_irfft():
-        jax.block_until_ready(dsc.irfft(spec).jax)
+    # ---- complex fft 2^24 --------------------------------------------------
+    cspec, ctables = fft_plan.get_plan(n, 'complex', np.complex64)
+    c0 = fft_core.rfft_batched(  # reuse device data to build a c64 vector
+        x.jax.reshape(1, n), rspec, rtables, n
+    )[:, :n // 2].reshape(1, n // 2)
 
-    t_irfft = _best(run_irfft)
-    gflops_irfft = flops_r / t_irfft / 1e9
+    # chain forward ffts with 1/sqrt(n) normalization to keep values bounded
+    import jax.numpy as jnp
 
-    # complex fft 2^24 as well (5*N*log2 N)
-    c = dsc.cast(x, dsc.Dtype.C32)
+    cx = jnp.pad(c0, ((0, 0), (0, n - n // 2)))
+    scale = np.float32(1.0 / np.sqrt(n))
 
-    def run_fft():
-        jax.block_until_ready(dsc.fft(c).jax)
+    def cfft_step(v):
+        return fft_core.fft_batched(v, cspec, ctables, False) * scale
 
-    t_fft = _best(run_fft)
+    t_fft = bench_looped(cfft_step, cx)
     gflops_fft = 5.0 * n * logn / t_fft / 1e9
 
-    # ---- elementwise bandwidth -------------------------------------------
+    # ---- elementwise bandwidth ---------------------------------------------
     ne = 2**26  # 256 MiB f32
     a = dsc.from_numpy(rng.standard_normal(ne).astype(np.float32))
     b = dsc.from_numpy(rng.standard_normal(ne).astype(np.float32))
-    out = dsc.zeros((ne,))
+    bj = b.jax
 
-    def run_add():
-        jax.block_until_ready(dsc.add(a, b, out=out).jax)
+    t_fma = bench_looped(lambda v: v * np.float32(0.5) + bj, a.jax)
+    gbs_fma = 3 * ne * 4 / t_fma / 1e9  # 2 reads + 1 write
 
-    t_add = _best(run_add)
-    gbs_add = 3 * ne * 4 / t_add / 1e9  # 2 reads + 1 write
-
-    def run_exp():
-        jax.block_until_ready(dsc.exp(a, out=out).jax)
-
-    t_exp = _best(run_exp)
+    t_exp = bench_looped(lambda v: jnp.exp(-v), a.jax)
     gbs_exp = 2 * ne * 4 / t_exp / 1e9
 
-    # ---- NumPy baseline on this host --------------------------------------
-    t_np = _best(lambda: np.fft.rfft(x_np))
+    # ---- NumPy baseline on this host ----------------------------------------
+    t_np = bench_host(lambda: np.fft.rfft(x_np))
     gflops_np = flops_r / t_np / 1e9
 
     print(
-        f'# rfft  2^24: {t_rfft*1e3:8.2f} ms  {gflops_rfft:8.1f} GFLOP/s\n'
-        f'# irfft 2^24: {t_irfft*1e3:8.2f} ms  {gflops_irfft:8.1f} GFLOP/s\n'
-        f'# fft   2^24: {t_fft*1e3:8.2f} ms  {gflops_fft:8.1f} GFLOP/s\n'
-        f'# add  256MB: {t_add*1e3:8.2f} ms  {gbs_add:8.1f} GB/s\n'
+        f'# rfft/irfft 2^24: {t_rfft*1e3:8.2f} ms/transform '
+        f'{gflops_rfft:8.1f} GFLOP/s\n'
+        f'# cfft  2^24: {t_fft*1e3:8.2f} ms  {gflops_fft:8.1f} GFLOP/s\n'
+        f'# fma  256MB: {t_fma*1e3:8.2f} ms  {gbs_fma:8.1f} GB/s\n'
         f'# exp  256MB: {t_exp*1e3:8.2f} ms  {gbs_exp:8.1f} GB/s\n'
         f'# numpy rfft: {t_np*1e3:8.2f} ms  {gflops_np:8.1f} GFLOP/s',
         file=sys.stderr,

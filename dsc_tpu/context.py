@@ -138,7 +138,7 @@ def clear() -> None:
     """
     import gc
 
-    from .fft import plan as _plan
+    from .fourier import plan as _plan
 
     _plan.clear_plans()
     gc.collect()

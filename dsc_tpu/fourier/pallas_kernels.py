@@ -165,11 +165,16 @@ def fft_base(x: jax.Array, n: int) -> jax.Array:
     if n_chunks == 1:
         yr, yi = _pallas_fft_block(xr, xi, n, consts)
     else:
-        xr3 = xr.reshape(n_chunks, bb, n)
-        xi3 = xi.reshape(n_chunks, bb, n)
-        yr, yi = jax.lax.map(
-            lambda c: _pallas_fft_block(c[0], c[1], n, consts), (xr3, xi3)
-        )
-        yr = yr.reshape(b_pad, n)
-        yi = yi.reshape(b_pad, n)
+        # statically unrolled chunks: lax.map's while-loop makes XLA stage
+        # the full chunk array in scoped VMEM and OOM (observed on v5e);
+        # separate pallas calls share one Mosaic kernel compile
+        yrs, yis = [], []
+        for c in range(n_chunks):
+            cr, ci = _pallas_fft_block(
+                xr[c * bb:(c + 1) * bb], xi[c * bb:(c + 1) * bb], n, consts
+            )
+            yrs.append(cr)
+            yis.append(ci)
+        yr = jnp.concatenate(yrs, axis=0)
+        yi = jnp.concatenate(yis, axis=0)
     return jax.lax.complex(yr[:b], yi[:b])

@@ -11,8 +11,8 @@ from typing import Optional
 
 import numpy as np
 
-from .. import fft as dsc_fft
-from ..fft.plan import next_pow2
+from ..fourier import irfft, rfft
+from ..fourier.plan import next_pow2
 from ..tensor import Tensor, from_numpy, mul
 
 
@@ -24,10 +24,10 @@ def fft_convolve(signal: Tensor, taps: Tensor, mode: str = 'full') -> Tensor:
     out_len = n + k - 1
     fft_n = next_pow2(out_len)
     spec = mul(
-        dsc_fft.rfft(signal, n=fft_n),
-        dsc_fft.rfft(taps, n=fft_n),
+        rfft(signal, n=fft_n),
+        rfft(taps, n=fft_n),
     )
-    full = dsc_fft.irfft(spec)[:out_len]
+    full = irfft(spec)[:out_len]
     if mode == 'full':
         return full
     if mode == 'same':
@@ -47,7 +47,7 @@ class FilterFFT:
         self.block_size = block_size
         self.out_len = block_size + self.n_taps - 1
         self.fft_n = next_pow2(self.out_len)
-        self.kernel_spec = dsc_fft.rfft(taps, n=self.fft_n)
+        self.kernel_spec = rfft(taps, n=self.fft_n)
 
     def __call__(self, block: Tensor) -> Tensor:
         if block.shape[-1] != self.block_size:
@@ -55,5 +55,5 @@ class FilterFFT:
                 f'expected block of {self.block_size} samples, '
                 f'got {block.shape[-1]}'
             )
-        spec = mul(dsc_fft.rfft(block, n=self.fft_n), self.kernel_spec)
-        return dsc_fft.irfft(spec)[: self.out_len]
+        spec = mul(rfft(block, n=self.fft_n), self.kernel_spec)
+        return irfft(spec)[: self.out_len]

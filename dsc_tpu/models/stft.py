@@ -15,8 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import tracing
-from ..fft import core as fft_core
-from ..fft import plan as fft_plan
+from ..fourier import core as fft_core
+from ..fourier import plan as fft_plan
 from ..tensor import Tensor
 
 

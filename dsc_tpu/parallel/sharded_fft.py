@@ -25,8 +25,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..fft import core as fft_core
-from ..fft import plan as fft_plan
+from ..fourier import core as fft_core
+from ..fourier import plan as fft_plan
 
 
 def shard_batch(x: jax.Array, mesh: Mesh, axis: str = 'data') -> jax.Array:

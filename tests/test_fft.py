@@ -6,7 +6,7 @@ import random
 import numpy as np
 
 import dsc_tpu as dsc
-from dsc_tpu.fft import plan as fft_plan
+from dsc_tpu.fourier import plan as fft_plan
 
 from conftest import DSC_DTYPES, DTYPES, all_close, random_nd
 

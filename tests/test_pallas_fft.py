@@ -1,0 +1,58 @@
+"""Pallas FFT base kernel in interpreter mode (the kernel-correctness story
+from SURVEY §5.2: Pallas interpret mode on CPU; compiled-path validation
+runs on hardware via bench.py / the verify flow)."""
+
+import numpy as np
+import pytest
+
+import dsc_tpu as dsc
+from dsc_tpu.fourier import config as fft_config
+from dsc_tpu.fourier import pallas_kernels as pk
+
+from conftest import all_close
+
+
+@pytest.fixture(autouse=True)
+def force_pallas(monkeypatch):
+    monkeypatch.setattr(fft_config, 'PALLAS_MODE', 'on')
+    yield
+
+
+@pytest.mark.parametrize('n', [256, 512, 1024, 4096])
+def test_fft_base_matches_numpy(n):
+    x = (np.random.randn(4, n) + 1j * np.random.randn(4, n)).astype(
+        np.complex64
+    )
+    got = np.asarray(pk.fft_base(np.asarray(x), n))
+    ref = np.fft.fft(x, axis=-1)
+    scale = max(np.abs(ref).max(), 1.0)
+    assert np.abs(got - ref).max() / scale < 2e-6
+
+
+def test_fft_base_chunked():
+    # batch > block size exercises the unrolled-chunk path
+    n = 256
+    bb = pk._block_batch(n)
+    b = 2 * bb + 7  # non-multiple => padding too
+    x = (np.random.randn(b, n) + 1j * np.random.randn(b, n)).astype(
+        np.complex64
+    )
+    got = np.asarray(pk.fft_base(np.asarray(x), n))
+    ref = np.fft.fft(x, axis=-1)
+    assert np.abs(got - ref).max() / max(np.abs(ref).max(), 1.0) < 2e-6
+
+
+def test_full_fft_via_pallas_path():
+    # end-to-end dsc.fft with the pallas base forced on (interpret on CPU)
+    x = (np.random.randn(3, 1024) + 1j * np.random.randn(3, 1024)).astype(
+        np.complex64
+    )
+    got = dsc.fft(dsc.from_numpy(x)).numpy()
+    assert all_close(got, np.fft.fft(x, axis=-1))
+
+
+def test_consts_are_f64_accurate():
+    # twiddle tables must come from f64 host math (SURVEY §7.3 risk 1)
+    r1, r2, f1r, f1i, *_ = pk._consts(1024)
+    ref = np.exp(-2j * np.pi * np.outer(np.arange(r1), np.arange(r1)) / r1)
+    assert np.abs(f1r - ref.real.astype(np.float32)).max() == 0
