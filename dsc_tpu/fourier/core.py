@@ -113,12 +113,21 @@ def fft_batched(x: jax.Array, spec: Tuple, tables: Any, inverse: bool) -> jax.Ar
 def rfft_batched(
     x: jax.Array, spec: Tuple, tables: Any, n: int
 ) -> jax.Array:
-    """(B, n) real -> (B, n/2+1) complex via the half-size complex transform
-    + untangling pass (reference dsc_real_fft, dsc_fft.h:178-238)."""
+    """(B, n) real -> (B, n/2+1) complex.
+
+    Small n: half-size complex transform + untangling pass (reference
+    dsc_real_fft, dsc_fft.h:178-238). Large n: full-size complex transform
+    of x+0i — the even/odd packing is a stride-2 lane gather that XLA lowers
+    pathologically at scale (157 ms at 2^24), while the 2x-flops full
+    transform runs at memory speed.
+    """
     w_tables, wu = tables
-    wu = _c(wu)
     b = x.shape[0]
     nh = n // 2
+    if wu is None:
+        z = jax.lax.complex(x, jnp.zeros_like(x))
+        return fft_apply(z, spec, w_tables)[:, : nh + 1]
+    wu = _c(wu)
     if nh == 0:
         return x.astype(wu.dtype)
     z = jax.lax.complex(x[:, 0::2], x[:, 1::2]).astype(wu.dtype)
@@ -135,11 +144,20 @@ def irfft_batched(
     x: jax.Array, spec: Tuple, tables: Any, n: int
 ) -> jax.Array:
     """(B, n/2+1) complex -> (B, n) real: inverse untangle + half-size
-    inverse transform."""
+    inverse transform (small n), or full-spectrum reconstruction + full-size
+    inverse transform (large n; see rfft_batched)."""
     w_tables, wu = tables
-    wu = _c(wu)
     b = x.shape[0]
     nh = n // 2
+    if wu is None:
+        # X[n-k] = conj(X[k]) for k = 1..nh-1; the reversal runs as a DMA
+        # kernel — XLA's lane-gather lowering costs ~15 ms at 2^24
+        from .pallas_reconstruct import reconstruct_spectrum
+
+        full = reconstruct_spectrum(x, n)
+        y = jnp.conj(fft_apply(jnp.conj(full), spec, w_tables)) * (1.0 / n)
+        return jnp.real(y)
+    wu = _c(wu)
     if nh == 0:
         return jnp.real(x)
     xr = jnp.conj(x[:, ::-1])  # Xr[k] = conj(X[nh-k]), k = 0..nh

@@ -32,6 +32,10 @@ MAX_FFT_PLANS = int(os.environ.get('DSC_MAX_FFT_PLANS', '16'))
 # decomposition for transforms that exceed VMEM).
 BASE_MAX = 4096
 
+# Largest real transform using the half-size even/odd packing; above this
+# the full-size complex engine wins (see get_plan).
+RFFT_PACK_MAX = 2**16
+
 _plans: 'OrderedDict[Tuple, Any]' = OrderedDict()
 _lock = threading.Lock()
 
@@ -61,7 +65,10 @@ def build_spec(n: int) -> Tuple:
     """
     if n <= BASE_MAX:
         return ('base', n)
-    n1 = 1 << ((n.bit_length() - 1) // 2)
+    # balanced factors, each as close to sqrt(n) as possible while fitting
+    # the base kernel — e.g. 2^24 -> 4096 x 4096 (one level), not
+    # 2048 x 8192 (which would force a nested split)
+    n1 = min(1 << (n.bit_length() // 2), BASE_MAX)
     n2 = n // n1
     return ('split', n1, n2, build_spec(n1), build_spec(n2))
 
@@ -126,9 +133,20 @@ def get_plan(n: int, fft_type: str, cdtype) -> Tuple[Tuple, Any]:
             return _plans[key]
 
     if fft_type == 'real':
-        nh = n // 2 if n > 1 else 1
-        spec = build_spec(nh)
-        tables = (_build_tables(spec, cdtype), _planar(_rfft_untangle(n), cdtype))
+        if n > RFFT_PACK_MAX:
+            # Large real transforms run through the full-size complex engine:
+            # the half-size even/odd packing is a stride-2 lane gather that
+            # XLA lowers catastrophically at scale (measured 157 ms for the
+            # 2^24 deinterleave alone vs 7 ms for the whole full-size fft).
+            spec = build_spec(n)
+            tables = (_build_tables(spec, cdtype), None)
+        else:
+            nh = n // 2 if n > 1 else 1
+            spec = build_spec(nh)
+            tables = (
+                _build_tables(spec, cdtype),
+                _planar(_rfft_untangle(n), cdtype),
+            )
     else:
         spec = build_spec(n)
         tables = _build_tables(spec, cdtype)

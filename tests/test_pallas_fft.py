@@ -56,3 +56,29 @@ def test_consts_are_f64_accurate():
     r1, r2, f1r, f1i, *_ = pk._consts(1024)
     ref = np.exp(-2j * np.pi * np.outer(np.arange(r1), np.arange(r1)) / r1)
     assert np.abs(f1r - ref.real.astype(np.float32)).max() == 0
+
+
+def test_reconstruct_spectrum_kernel():
+    # Hermitian reconstruction DMA kernel (interpret mode; small chunks)
+    import jax
+    import jax.numpy as jnp
+
+    import dsc_tpu.fourier.pallas_reconstruct as pr
+
+    old = pr.CHUNK
+    pr.CHUNK = 1024
+    try:
+        n = 8192
+        x = (
+            np.random.randn(1, n // 2 + 1) + 1j * np.random.randn(1, n // 2 + 1)
+        ).astype(np.complex64)
+        x[0, n // 2] = x[0, n // 2].real  # valid Hermitian corner
+        full = np.asarray(
+            jax.jit(lambda v: pr.reconstruct_spectrum(v, n))(jnp.asarray(x))
+        )
+        ref = np.concatenate(
+            [x, np.conj(x[:, 1 : n // 2][:, ::-1])], axis=1
+        )
+        assert np.abs(full - ref).max() == 0
+    finally:
+        pr.CHUNK = old
