@@ -11,15 +11,19 @@ recursion, strided scalar loops), so the rebuild uses:
 - **Bailey four-step** (n = n1*n2: column FFTs -> twiddle -> row FFTs ->
   transpose) for large transforms, the same decomposition logic the survey
   maps to blockwise/sequence-parallel processing (SURVEY §5.7);
-- an optional Pallas base-case kernel on TPU (see pallas_kernels.py) that
-  fuses an entire base transform in VMEM.
+- Pallas base-case kernels on TPU (pallas_kernels.py) that run each base
+  transform as two MXU matmuls in VMEM.
 
-Everything here is shape-static, jit-traceable, and operates on native
-complex arrays (complex64/complex128); the Pallas kernels switch to planar
-(re, im) float pairs internally since TPU vector registers have no complex.
+**Everything internal is planar**: complex values travel as (re, im) float
+pairs. TPU vector registers have no complex type, the PJRT transfer path
+can't move complex arrays (interop.py), and every real<->complex
+materialization at 2^24 costs an HBM pass — so complex arrays exist only at
+the public API boundary. rfft never materializes a complex input (its input
+is real) and irfft never materializes a complex output.
 
 Inverse transforms use the conjugation identity ifft(x) = conj(fft(conj(x)))/n
-so a single forward code path serves both directions.
+— on planar data a conjugation is just negating the imaginary plane, which
+XLA fuses into the neighboring ops for free.
 """
 
 from __future__ import annotations
@@ -32,92 +36,110 @@ import jax.numpy as jnp
 
 from . import config
 
-
-def _c(table) -> jax.Array:
-    """Recombine a planar (re, im) twiddle table inside the jitted kernel —
-    complex arrays can't cross the TPU transfer boundary (see interop.py),
-    so plans store float pairs and pay one fused lax.complex here."""
-    return jax.lax.complex(table[0], table[1])
+Planar = Tuple[jax.Array, jax.Array]
 
 
-def stockham_fft(x: jax.Array, w: jax.Array) -> jax.Array:
-    """Forward DFT of each row of ``x`` (shape (B, n), complex), Stockham
-    autosort radix-2 DIF.
+def _cmul(ar, ai, br, bi) -> Planar:
+    return ar * br - ai * bi, ar * bi + ai * br
 
-    ``w`` is the stage twiddle table w[p] = exp(-2i*pi*p/n), p < n/2; stage
-    with current length ``cur`` uses the strided subset w[::n//cur][:cur//2].
-    Output is in natural order — no bit-reversal pass.
+
+def stockham_fft_p(xr: jax.Array, xi: jax.Array, w: Planar) -> Planar:
+    """Forward DFT of each row (B, n), Stockham autosort radix-2 DIF on
+    planar data.
+
+    ``w`` holds the stage twiddles w[p] = exp(-2i*pi*p/n), p < n/2; the
+    stage with current length ``cur`` uses the strided subset
+    w[::n//cur][:cur//2]. Output is in natural order — no bit-reversal.
     """
-    b, n = x.shape
+    wr, wi = w
+    b, n = xr.shape
     if n == 1:
-        return x
+        return xr, xi
     cur, s = n, 1
     while cur > 1:
         m = cur // 2
-        x3 = x.reshape(b, cur, s)
-        a = x3[:, :m]
-        bb = x3[:, m:]
-        wp = w[::s][:m].reshape(1, m, 1)
-        y = jnp.stack([a + bb, (a - bb) * wp], axis=2)
-        x = y.reshape(b, n)
+        x3r = xr.reshape(b, cur, s)
+        x3i = xi.reshape(b, cur, s)
+        ar, ai = x3r[:, :m], x3i[:, :m]
+        br_, bi_ = x3r[:, m:], x3i[:, m:]
+        wpr = wr[::s][:m].reshape(1, m, 1)
+        wpi = wi[::s][:m].reshape(1, m, 1)
+        dr, di = ar - br_, ai - bi_
+        pr, pi = _cmul(dr, di, wpr, wpi)
+        xr = jnp.stack([ar + br_, pr], axis=2).reshape(b, n)
+        xi = jnp.stack([ai + bi_, pi], axis=2).reshape(b, n)
         cur, s = m, s * 2
-    return x
+    return xr, xi
 
 
-def _base_fft(x: jax.Array, w: jax.Array, n: int) -> jax.Array:
-    """Base-case n-point batched FFT; routes to the Pallas kernel on TPU
-    when enabled, otherwise the Stockham XLA path."""
-    if config.use_pallas(x.dtype, n):
+def _base_fft_p(xr: jax.Array, xi: jax.Array, tables: Planar, n: int) -> Planar:
+    """Base-case n-point batched FFT; Pallas MXU kernel on TPU, Stockham
+    XLA path elsewhere."""
+    if config.use_pallas(jnp.complex64 if xr.dtype == jnp.float32
+                         else jnp.complex128, n):
         from . import pallas_kernels
 
-        return pallas_kernels.fft_base(x, n)
-    return stockham_fft(x, w)
+        return pallas_kernels.fft_base_planar(xr, xi, n)
+    return stockham_fft_p(xr, xi, tables)
 
 
-def fft_apply(x: jax.Array, spec: Tuple, tables: Any) -> jax.Array:
-    """Forward FFT of each row of x (B, n) following the factorization
-    ``spec`` with twiddle ``tables`` (see plan.build_spec)."""
+def fft_apply_p(xr: jax.Array, xi: jax.Array, spec: Tuple, tables: Any) -> Planar:
+    """Forward FFT of each row (B, n) following the factorization ``spec``
+    (see plan.build_spec), planar in/out."""
     kind = spec[0]
     if kind == 'base':
-        return _base_fft(x, _c(tables), spec[1])
+        return _base_fft_p(xr, xi, tables, spec[1])
 
     _, n1, n2, s1, s2 = spec
-    tt, t1, t2 = tables
-    tt = _c(tt)
-    b = x.shape[0]
+    (ttr, tti), t1, t2 = tables
+    b = xr.shape[0]
     n = n1 * n2
 
     # x[j] with j = n2*j1 + j2  ->  M[j1, j2]
-    m = x.reshape(b, n1, n2)
+    mr = xr.reshape(b, n1, n2).transpose(0, 2, 1).reshape(b * n2, n1)
+    mi = xi.reshape(b, n1, n2).transpose(0, 2, 1).reshape(b * n2, n1)
     # column FFTs (over j1): batch the n2 columns as rows
-    mt = m.transpose(0, 2, 1).reshape(b * n2, n1)
-    a = fft_apply(mt, s1, t1).reshape(b, n2, n1)
+    ar, ai = fft_apply_p(mr, mi, s1, t1)
+    ar = ar.reshape(b, n2, n1)
+    ai = ai.reshape(b, n2, n1)
     # inter-stage twiddle Tt[j2, k1] = exp(-2i*pi*k1*j2/n)
-    a = a * tt[None]
+    ar, ai = _cmul(ar, ai, ttr[None], tti[None])
     # row FFTs (over j2)
-    bm = a.transpose(0, 2, 1).reshape(b * n1, n2)
-    c = fft_apply(bm, s2, t2).reshape(b, n1, n2)
+    br_ = ar.transpose(0, 2, 1).reshape(b * n1, n2)
+    bi_ = ai.transpose(0, 2, 1).reshape(b * n1, n2)
+    cr, ci = fft_apply_p(br_, bi_, s2, t2)
     # X[k1 + n1*k2] = C[k1, k2]  ->  flatten transposed
-    return c.transpose(0, 2, 1).reshape(b, n)
+    cr = cr.reshape(b, n1, n2).transpose(0, 2, 1).reshape(b, n)
+    ci = ci.reshape(b, n1, n2).transpose(0, 2, 1).reshape(b, n)
+    return cr, ci
 
 
-def fft_batched(x: jax.Array, spec: Tuple, tables: Any, inverse: bool) -> jax.Array:
-    """(B, n) complex -> (B, n) complex, forward or inverse (1/n scaled)."""
-    n = x.shape[-1]
+def fft_batched_p(
+    xr: jax.Array, xi: jax.Array, spec: Tuple, tables: Any, inverse: bool
+) -> Planar:
+    """(B, n) planar -> (B, n) planar, forward or inverse (1/n scaled)."""
+    n = xr.shape[-1]
     if inverse:
-        y = jnp.conj(fft_apply(jnp.conj(x), spec, tables))
-        return y * (1.0 / n)
-    return fft_apply(x, spec, tables)
+        yr, yi = fft_apply_p(xr, -xi, spec, tables)
+        scale = _one_over(n, xr.dtype)
+        return yr * scale, -yi * scale
+    return fft_apply_p(xr, xi, spec, tables)
 
 
-def rfft_batched(
+def _one_over(n, dtype):
+    import numpy as np
+
+    return np.dtype(dtype).type(1.0 / n)
+
+
+def rfft_batched_p(
     x: jax.Array, spec: Tuple, tables: Any, n: int
-) -> jax.Array:
-    """(B, n) real -> (B, n/2+1) complex.
+) -> Planar:
+    """(B, n) real -> (B, n/2+1) planar.
 
     Small n: half-size complex transform + untangling pass (reference
-    dsc_real_fft, dsc_fft.h:178-238). Large n: full-size complex transform
-    of x+0i — the even/odd packing is a stride-2 lane gather that XLA lowers
+    dsc_real_fft, dsc_fft.h:178-238). Large n: full-size transform of
+    x + 0i — the even/odd packing is a stride-2 lane gather that XLA lowers
     pathologically at scale (157 ms at 2^24), while the 2x-flops full
     transform runs at memory speed.
     """
@@ -125,65 +147,93 @@ def rfft_batched(
     b = x.shape[0]
     nh = n // 2
     if wu is None:
-        z = jax.lax.complex(x, jnp.zeros_like(x))
-        return fft_apply(z, spec, w_tables)[:, : nh + 1]
-    wu = _c(wu)
+        yr, yi = fft_apply_p(x, jnp.zeros_like(x), spec, w_tables)
+        return yr[:, : nh + 1], yi[:, : nh + 1]
+    wur, wui = wu
     if nh == 0:
-        return x.astype(wu.dtype)
-    z = jax.lax.complex(x[:, 0::2], x[:, 1::2]).astype(wu.dtype)
-    zf = fft_apply(z, spec, w_tables)
+        return x.astype(wur.dtype), jnp.zeros_like(x, dtype=wur.dtype)
+    zr = x[:, 0::2].astype(wur.dtype)
+    zi = x[:, 1::2].astype(wur.dtype)
+    zfr, zfi = fft_apply_p(zr, zi, spec, w_tables)
     # extend with Z[nh] = Z[0], then Zr[k] = conj(Z[nh-k])
-    ze = jnp.concatenate([zf, zf[:, :1]], axis=1)
-    zr = jnp.conj(ze[:, ::-1])
-    even = 0.5 * (ze + zr)
-    odd = -0.5j * wu[None] * (ze - zr)
-    return even + odd
+    zer = jnp.concatenate([zfr, zfr[:, :1]], axis=1)
+    zei = jnp.concatenate([zfi, zfi[:, :1]], axis=1)
+    zrr = zer[:, ::-1]
+    zri = -zei[:, ::-1]
+    er, ei = 0.5 * (zer + zrr), 0.5 * (zei + zri)
+    dr, di = zer - zrr, zei - zri
+    # odd = -0.5i * wu * d
+    tr, ti = _cmul(dr, di, wur[None], wui[None])
+    outr = er + 0.5 * ti
+    outi = ei - 0.5 * tr
+    return outr, outi
 
 
-def irfft_batched(
-    x: jax.Array, spec: Tuple, tables: Any, n: int
+def irfft_batched_p(
+    xr: jax.Array, xi: jax.Array, spec: Tuple, tables: Any, n: int
 ) -> jax.Array:
-    """(B, n/2+1) complex -> (B, n) real: inverse untangle + half-size
-    inverse transform (small n), or full-spectrum reconstruction + full-size
-    inverse transform (large n; see rfft_batched)."""
+    """(B, n/2+1) planar -> (B, n) real: full-spectrum reconstruction +
+    full-size inverse (large n), or inverse untangle + half-size inverse
+    (small n)."""
     w_tables, wu = tables
-    b = x.shape[0]
+    b = xr.shape[0]
     nh = n // 2
     if wu is None:
-        # X[n-k] = conj(X[k]) for k = 1..nh-1; the reversal runs as a DMA
-        # kernel — XLA's lane-gather lowering costs ~15 ms at 2^24
-        from .pallas_reconstruct import reconstruct_spectrum
+        # X[n-k] = conj(X[k]): DMA kernel (XLA's lane-gather lowering costs
+        # ~15 ms at 2^24)
+        from .pallas_reconstruct import reconstruct_spectrum_p
 
-        full = reconstruct_spectrum(x, n)
-        y = jnp.conj(fft_apply(jnp.conj(full), spec, w_tables)) * (1.0 / n)
-        return jnp.real(y)
-    wu = _c(wu)
+        fr, fi = reconstruct_spectrum_p(xr, xi, n)
+        yr, yi = fft_apply_p(fr, -fi, spec, w_tables)
+        return yr * _one_over(n, yr.dtype)
+    wur, wui = wu
     if nh == 0:
-        return jnp.real(x)
-    xr = jnp.conj(x[:, ::-1])  # Xr[k] = conj(X[nh-k]), k = 0..nh
-    xf = x[:, :nh]
-    even = 0.5 * (xf + xr[:, :nh])
-    odd = 0.5j * jnp.conj(wu[None, :nh]) * (xf - xr[:, :nh])
-    z = even + odd
-    zi = jnp.conj(fft_apply(jnp.conj(z), spec, w_tables)) * (1.0 / nh)
-    out = jnp.stack([jnp.real(zi), jnp.imag(zi)], axis=-1).reshape(b, n)
+        return xr
+    # Xr[k] = conj(X[nh-k]), k = 0..nh
+    xrr = xr[:, ::-1]
+    xri = -xi[:, ::-1]
+    fr_, fi_ = xr[:, :nh], xi[:, :nh]
+    err, eri = 0.5 * (fr_ + xrr[:, :nh]), 0.5 * (fi_ + xri[:, :nh])
+    dr, di = fr_ - xrr[:, :nh], fi_ - xri[:, :nh]
+    # odd = 0.5i * conj(wu) * d
+    tr, ti = _cmul(dr, di, wur[None, :nh], -wui[None, :nh])
+    zr = err - 0.5 * ti
+    zi = eri + 0.5 * tr
+    # half-size inverse
+    yr, yi = fft_apply_p(zr, -zi, spec, w_tables)
+    scale = _one_over(nh, yr.dtype)
+    yr, yi = yr * scale, -yi * scale
+    out = jnp.stack([yr, yi], axis=-1).reshape(b, n)
     return out
+
+
+# ---------------------------------------------------------------------------
+# complex-typed wrappers (used by the parallel/sharded paths and models)
+# ---------------------------------------------------------------------------
+
+
+def fft_apply(x: jax.Array, spec: Tuple, tables: Any) -> jax.Array:
+    yr, yi = fft_apply_p(jnp.real(x), jnp.imag(x), spec, tables)
+    return jax.lax.complex(yr, yi)
+
+
+def fft_batched(x: jax.Array, spec: Tuple, tables: Any, inverse: bool) -> jax.Array:
+    yr, yi = fft_batched_p(jnp.real(x), jnp.imag(x), spec, tables, inverse)
+    return jax.lax.complex(yr, yi)
+
+
+def rfft_batched(x: jax.Array, spec: Tuple, tables: Any, n: int) -> jax.Array:
+    yr, yi = rfft_batched_p(x, spec, tables, n)
+    return jax.lax.complex(yr, yi)
+
+
+def irfft_batched(x: jax.Array, spec: Tuple, tables: Any, n: int) -> jax.Array:
+    return irfft_batched_p(jnp.real(x), jnp.imag(x), spec, tables, n)
 
 
 # ---------------------------------------------------------------------------
 # N-D entry points: pad/crop + axis handling, fully jitted
 # ---------------------------------------------------------------------------
-
-
-def _to_batch(x: jax.Array, axis: int) -> Tuple[jax.Array, Tuple[int, ...]]:
-    xm = jnp.moveaxis(x, axis, -1)
-    lead = xm.shape[:-1]
-    return xm.reshape(-1, xm.shape[-1]), lead
-
-
-def _from_batch(y: jax.Array, lead: Tuple[int, ...], axis: int) -> jax.Array:
-    y = y.reshape(*lead, y.shape[-1])
-    return jnp.moveaxis(y, -1, axis)
 
 
 def _pad_crop(x: jax.Array, target: int) -> jax.Array:
@@ -204,23 +254,29 @@ def fft_nd(x, tables, spec, n, axis, inverse, cdtype):
     # eagerly at the transfer boundary (interop.py)
     x = x.astype(cdtype)
     x = _pad_crop(jnp.moveaxis(x, axis, -1), n)
-    xb, lead = x.reshape(-1, n), x.shape[:-1]
-    y = fft_batched(xb, spec, tables, inverse)
-    return _from_batch(y, lead, axis)
+    lead = x.shape[:-1]
+    xb = x.reshape(-1, n)
+    yr, yi = fft_batched_p(jnp.real(xb), jnp.imag(xb), spec, tables, inverse)
+    y = jax.lax.complex(yr, yi).reshape(*lead, n)
+    return jnp.moveaxis(y, -1, axis)
 
 
 @partial(jax.jit, static_argnames=('spec', 'n', 'axis'))
 def rfft_nd(x, tables, spec, n, axis):
     x = _pad_crop(jnp.moveaxis(x, axis, -1), n)
-    xb, lead = x.reshape(-1, n), x.shape[:-1]
-    y = rfft_batched(xb, spec, tables, n)
-    return _from_batch(y, lead, axis)
+    lead = x.shape[:-1]
+    xb = x.reshape(-1, n)
+    yr, yi = rfft_batched_p(xb, spec, tables, n)
+    y = jax.lax.complex(yr, yi).reshape(*lead, n // 2 + 1)
+    return jnp.moveaxis(y, -1, axis)
 
 
 @partial(jax.jit, static_argnames=('spec', 'n', 'axis', 'cdtype'))
 def irfft_nd(x, tables, spec, n, axis, cdtype):
     x = x.astype(cdtype)
     x = _pad_crop(jnp.moveaxis(x, axis, -1), n // 2 + 1)
-    xb, lead = x.reshape(-1, n // 2 + 1), x.shape[:-1]
-    y = irfft_batched(xb, spec, tables, n)
-    return _from_batch(y, lead, axis)
+    lead = x.shape[:-1]
+    xb = x.reshape(-1, n // 2 + 1)
+    y = irfft_batched_p(jnp.real(xb), jnp.imag(xb), spec, tables, n)
+    y = y.reshape(*lead, n)
+    return jnp.moveaxis(y, -1, axis)

@@ -147,15 +147,15 @@ def _pallas_fft_block(xr, xi, n, consts):
     )(xr, xi, *consts)
 
 
-def fft_base(x: jax.Array, n: int) -> jax.Array:
-    """Forward DFT of each row of x (B, n) complex64 via the block kernel.
+def fft_base_planar(xr: jax.Array, xi: jax.Array, n: int):
+    """Forward DFT of each row (B, n) planar f32 via the block kernel.
     Called from inside jit (fft core). Batches larger than one VMEM block
-    are chunked with lax.map (one kernel compile, sequential blocks)."""
-    b = x.shape[0]
+    are chunked by statically-unrolled slices: lax.map's while-loop makes
+    XLA stage the full chunk array in scoped VMEM and OOM (observed on
+    v5e); separate pallas calls share one Mosaic kernel compile."""
+    b = xr.shape[0]
     bb = _block_batch(n)
     b_pad = max(((b + bb - 1) // bb) * bb, bb)
-    xr = jnp.real(x)
-    xi = jnp.imag(x)
     if b_pad != b:
         pad = ((0, b_pad - b), (0, 0))
         xr = jnp.pad(xr, pad)
@@ -165,9 +165,6 @@ def fft_base(x: jax.Array, n: int) -> jax.Array:
     if n_chunks == 1:
         yr, yi = _pallas_fft_block(xr, xi, n, consts)
     else:
-        # statically unrolled chunks: lax.map's while-loop makes XLA stage
-        # the full chunk array in scoped VMEM and OOM (observed on v5e);
-        # separate pallas calls share one Mosaic kernel compile
         yrs, yis = [], []
         for c in range(n_chunks):
             cr, ci = _pallas_fft_block(
@@ -177,4 +174,10 @@ def fft_base(x: jax.Array, n: int) -> jax.Array:
             yis.append(ci)
         yr = jnp.concatenate(yrs, axis=0)
         yi = jnp.concatenate(yis, axis=0)
-    return jax.lax.complex(yr[:b], yi[:b])
+    return yr[:b], yi[:b]
+
+
+def fft_base(x: jax.Array, n: int) -> jax.Array:
+    """Complex-typed convenience wrapper over fft_base_planar."""
+    yr, yi = fft_base_planar(jnp.real(x), jnp.imag(x), n)
+    return jax.lax.complex(yr, yi)

@@ -154,8 +154,8 @@ def _interpret() -> bool:
     return jax.default_backend() != 'tpu'
 
 
-def reconstruct_spectrum(x: jax.Array, n: int) -> jax.Array:
-    """(B, n/2+1) complex -> (B, n) complex with Hermitian symmetry.
+def reconstruct_spectrum_p(xr: jax.Array, xi: jax.Array, n: int):
+    """(B, n/2+1) planar -> (B, n) planar with Hermitian symmetry.
 
     Kernel path needs n a power of two with n/2 divisible by CHUNK and
     B == 1; anything else falls back to XLA ops. The kernel conjugates
@@ -163,17 +163,19 @@ def reconstruct_spectrum(x: jax.Array, n: int) -> jax.Array:
     deviation is O(imag(X[n/2])/n) on already-invalid input (see kernel
     note).
     """
-    b, _ = x.shape
+    b, _ = xr.shape
     nh = n // 2
     if nh % CHUNK or nh // CHUNK < 1 or b != 1:
-        tail = jnp.conj(x[:, 1:nh][:, ::-1])
-        return jnp.concatenate([x, tail], axis=1)
-    xr = jnp.real(x).reshape(-1)
-    xi = jnp.imag(x).reshape(-1)
+        tr = xr[:, 1:nh][:, ::-1]
+        ti = -xi[:, 1:nh][:, ::-1]
+        return (
+            jnp.concatenate([xr, tr], axis=1),
+            jnp.concatenate([xi, ti], axis=1),
+        )
     # pad so the superset window of chunk 0 (up to x[nh+1024)) is in bounds
     pad = nh + 1024 - (nh + 1)
-    xr = jnp.pad(xr, (0, pad))
-    xi = jnp.pad(xi, (0, pad))
+    xr = jnp.pad(xr.reshape(-1), (0, pad))
+    xi = jnp.pad(xi.reshape(-1), (0, pad))
     kernel = functools.partial(_reconstruct_kernel, n, nh, CHUNK)
     anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
     fr, fi = pl.pallas_call(
@@ -187,4 +189,10 @@ def reconstruct_spectrum(x: jax.Array, n: int) -> jax.Array:
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_interpret(),
     )(xr, xi)
-    return jax.lax.complex(fr, fi).reshape(1, n)
+    return fr.reshape(1, n), fi.reshape(1, n)
+
+
+def reconstruct_spectrum(x: jax.Array, n: int) -> jax.Array:
+    """Complex-typed convenience wrapper over reconstruct_spectrum_p."""
+    fr, fi = reconstruct_spectrum_p(jnp.real(x), jnp.imag(x), n)
+    return jax.lax.complex(fr, fi)
