@@ -21,6 +21,12 @@ PALLAS_MIN_N = 256
 PALLAS_MAX_N = 4096
 
 
+# 'auto': streaming two-pass four-step kernel for large single-vector
+# transforms on TPU (pallas_stream.py); 'on' forces it (interpret mode off
+# TPU), 'off' falls back to the XLA four-step.
+STREAM_MODE = os.environ.get('DSC_FFT_STREAM', 'auto')
+
+
 def _on_tpu() -> bool:
     import jax
 
@@ -35,5 +41,21 @@ def use_pallas(dtype, n: int) -> bool:
     if not (PALLAS_MIN_N <= n <= PALLAS_MAX_N):
         return False
     if PALLAS_MODE == 'on':
+        return True
+    return _on_tpu()
+
+
+def use_stream(dtype, batch: int, spec) -> bool:
+    """Route a single-level ('split', n1, n2, base, base) transform of one
+    vector to the streaming two-pass kernel."""
+    if STREAM_MODE == 'off' or batch != 1:
+        return False
+    if spec[0] != 'split' or spec[3][0] != 'base' or spec[4][0] != 'base':
+        return False
+    from . import pallas_stream
+
+    if not pallas_stream.supported(spec[1], spec[2], dtype):
+        return False
+    if STREAM_MODE == 'on':
         return True
     return _on_tpu()

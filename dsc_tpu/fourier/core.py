@@ -119,11 +119,25 @@ def fft_batched_p(
 ) -> Planar:
     """(B, n) planar -> (B, n) planar, forward or inverse (1/n scaled)."""
     n = xr.shape[-1]
+    if _stream_ok(xr, spec):
+        from . import pallas_stream
+
+        yr, yi = pallas_stream.fourstep_stream_p(
+            xr.reshape(n), xi.reshape(n), spec[1], spec[2], inverse
+        )
+        return yr.reshape(1, n), yi.reshape(1, n)
     if inverse:
         yr, yi = fft_apply_p(xr, -xi, spec, tables)
         scale = _one_over(n, xr.dtype)
         return yr * scale, -yi * scale
     return fft_apply_p(xr, xi, spec, tables)
+
+
+def _stream_ok(xr: jax.Array, spec: Tuple) -> bool:
+    """Single large vector on TPU -> two-pass streaming kernel
+    (pallas_stream.py); everything else takes the XLA four-step."""
+    cdtype = jnp.complex64 if xr.dtype == jnp.float32 else jnp.complex128
+    return config.use_stream(cdtype, xr.shape[0], spec)
 
 
 def _one_over(n, dtype):
@@ -147,7 +161,16 @@ def rfft_batched_p(
     b = x.shape[0]
     nh = n // 2
     if wu is None:
-        yr, yi = fft_apply_p(x, jnp.zeros_like(x), spec, w_tables)
+        if _stream_ok(x, spec):
+            from . import pallas_stream
+
+            yr, yi = pallas_stream.fourstep_stream_p(
+                x.reshape(n), None, spec[1], spec[2], inverse=False
+            )
+            yr = yr.reshape(1, n)
+            yi = yi.reshape(1, n)
+        else:
+            yr, yi = fft_apply_p(x, jnp.zeros_like(x), spec, w_tables)
         return yr[:, : nh + 1], yi[:, : nh + 1]
     wur, wui = wu
     if nh == 0:
@@ -184,6 +207,14 @@ def irfft_batched_p(
         from .pallas_reconstruct import reconstruct_spectrum_p
 
         fr, fi = reconstruct_spectrum_p(xr, xi, n)
+        if _stream_ok(fr, spec):
+            from . import pallas_stream
+
+            yr, _ = pallas_stream.fourstep_stream_p(
+                fr.reshape(n), fi.reshape(n), spec[1], spec[2],
+                inverse=True, real_output=True,
+            )
+            return yr.reshape(1, n)
         yr, yi = fft_apply_p(fr, -fi, spec, w_tables)
         return yr * _one_over(n, yr.dtype)
     wur, wui = wu

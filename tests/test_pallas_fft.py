@@ -82,3 +82,63 @@ def test_reconstruct_spectrum_kernel():
         assert np.abs(full - ref).max() == 0
     finally:
         pr.CHUNK = old
+
+
+@pytest.mark.parametrize('n1,n2', [(512, 512), (512, 1024)])
+def test_stream_fourstep_kernel(n1, n2):
+    # two-pass streaming four-step (interpret mode): all four variants
+    import jax
+
+    from dsc_tpu.fourier import pallas_stream as ps
+
+    n = n1 * n2
+    rng = np.random.default_rng(0)
+    xr = rng.standard_normal(n).astype(np.float32)
+    xi = rng.standard_normal(n).astype(np.float32)
+    ref = np.fft.fft(xr + 1j * xi)
+    yr, yi = jax.jit(
+        lambda a, b: ps.fourstep_stream_p(a, b, n1, n2, False)
+    )(xr, xi)
+    y = np.asarray(yr) + 1j * np.asarray(yi)
+    # split-bf16 three-pass matmuls: ~1e-5 relative (north star: 1e-4)
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 3e-5
+    # inverse with sign-flipped tables (no conj sandwich)
+    ir, ii = jax.jit(
+        lambda a, b: ps.fourstep_stream_p(a, b, n1, n2, True)
+    )(np.asarray(yr), np.asarray(yi))
+    assert np.abs(np.asarray(ir) - xr).max() < 5e-3
+    assert np.abs(np.asarray(ii) - xi).max() < 5e-3
+    # real-input phase A (rfft path)
+    zr, zi = jax.jit(
+        lambda a: ps.fourstep_stream_p(a, None, n1, n2, False)
+    )(xr)
+    refr = np.fft.fft(xr)
+    z = np.asarray(zr) + 1j * np.asarray(zi)
+    assert np.abs(z - refr).max() / np.abs(refr).max() < 3e-5
+    # real-output inverse (irfft tail)
+    wr, wnone = jax.jit(
+        lambda a, b: ps.fourstep_stream_p(a, b, n1, n2, True, True)
+    )(np.asarray(yr), np.asarray(yi))
+    assert wnone is None
+    assert np.abs(np.asarray(wr) - xr).max() < 5e-3
+
+
+def test_stream_path_end_to_end(monkeypatch):
+    # dsc.rfft/irfft routed through the streaming kernel (interpret mode)
+    monkeypatch.setattr(fft_config, 'STREAM_MODE', 'on')
+    from dsc_tpu.fourier import plan as fft_plan
+
+    monkeypatch.setattr(fft_plan, 'BASE_MAX', 512)
+    monkeypatch.setattr(fft_plan, 'RFFT_PACK_MAX', 2**17)
+    fft_plan.clear_plans()
+    try:
+        n = 2**18  # 512 x 512 split
+        x = np.random.randn(n).astype(np.float32)
+        spec = dsc.rfft(dsc.from_numpy(x))
+        ref = np.fft.rfft(x)
+        err = np.abs(spec.numpy() - ref).max() / np.abs(ref).max()
+        assert err < 3e-5
+        back = dsc.irfft(spec)
+        assert np.abs(back.numpy() - x).max() < 1e-4
+    finally:
+        fft_plan.clear_plans()
