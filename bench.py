@@ -126,16 +126,27 @@ def main() -> None:
     t_fft = bench_looped(cfft_step, cx)
     gflops_fft = 5.0 * n * logn / t_fft / 1e9
 
-    # ---- elementwise bandwidth ---------------------------------------------
+    # ---- elementwise bandwidth (through the dsc op layer, which routes
+    # large f32 ops to the DMA-streaming kernel, ops/pallas_map.py) --------
+    from dsc_tpu.ops import kernels as ops_kernels
+
     ne = 2**26  # 256 MiB f32
     a = dsc.from_numpy(rng.standard_normal(ne).astype(np.float32))
     b = dsc.from_numpy(rng.standard_normal(ne).astype(np.float32))
-    bj = b.jax
 
-    t_fma = bench_looped(lambda v: v * np.float32(0.5) + bj, a.jax)
+    # b rides the loop carry: a device array CLOSED OVER inside jit is
+    # serialized as an HLO constant, and 256 MiB of literal overflows the
+    # tunnel's compile-request body limit (HTTP 413)
+    def add_step(c):
+        v, w = c
+        # v grows by ~N(0,1) per iteration — bounded over the trip counts
+        return ops_kernels.add(v, w, np.float32), w
+
+    t_fma = bench_looped(add_step, (a.jax, b.jax))
     gbs_fma = 3 * ne * 4 / t_fma / 1e9  # 2 reads + 1 write
 
-    t_exp = bench_looped(lambda v: jnp.exp(-v), a.jax)
+    # sin keeps the fed-back loop state bounded (exp would diverge)
+    t_exp = bench_looped(lambda v: ops_kernels.sin(v), a.jax)
     gbs_exp = 2 * ne * 4 / t_exp / 1e9
 
     # ---- NumPy baseline on this host ----------------------------------------
@@ -147,7 +158,7 @@ def main() -> None:
         f'{gflops_rfft:8.1f} GFLOP/s\n'
         f'# cfft  2^24: {t_fft*1e3:8.2f} ms  {gflops_fft:8.1f} GFLOP/s\n'
         f'# fma  256MB: {t_fma*1e3:8.2f} ms  {gbs_fma:8.1f} GB/s\n'
-        f'# exp  256MB: {t_exp*1e3:8.2f} ms  {gbs_exp:8.1f} GB/s\n'
+        f'# sin  256MB: {t_exp*1e3:8.2f} ms  {gbs_exp:8.1f} GB/s\n'
         f'# numpy rfft: {t_np*1e3:8.2f} ms  {gflops_np:8.1f} GFLOP/s',
         file=sys.stderr,
     )

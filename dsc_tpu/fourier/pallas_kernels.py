@@ -15,13 +15,16 @@ Data is staged through VMEM in *slab* layout (n, lanes): the transform
 axis lives on sublanes and independent transforms ride the lanes, so
 every reshape keeps the minor dimension fixed and every butterfly is a
 dense matmul. Complex math is planar (re, im) float pairs — TPU vector
-registers have no complex (SURVEY §7.3 risk 2); a complex product is
-4 real matmuls. Matmuls run at Precision.HIGHEST: on this toolchain it
-both meets the 1e-4 accuracy bar (default bf16 passes give ~3e-3) and
-compiles an order of magnitude faster.
+registers have no complex (SURVEY §7.3 risk 2); each complex-matmul
+stage is ONE stacked real [[Fr,-Fi],[Fi,Fr]] matmul (full 128x128 MXU
+tiles for r=64 factors) computed as three split-bf16 passes (~1e-5
+relative error, ~2x the throughput of Precision.HIGHEST) — shared with
+the streaming kernel, see pallas_stream.py.
 
-DFT matrices and twiddles are computed host-side in float64 and downcast
-(dsc_init_plan parity, dsc_fft.h:33-55).
+DFT matrices and twiddles are generated in-kernel from integer iotas
+with exact mod-n reduction (f32-trig-accurate, and no dense MLIR
+constants — the remote compiler rejects multi-MiB payloads); see
+pallas_stream._gen_dft_tables.
 
 Mosaic quirk (axon remote-compile toolchain, observed 2026-08-16): any
 ``grid=`` + index maps combined with this kernel body fails to legalize
@@ -44,63 +47,27 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
-@functools.lru_cache(maxsize=64)
-def _consts(n: int) -> Tuple:
-    """Host-precomputed (f64 -> f32) DFT matrices + inner twiddle."""
+def _radices(n: int) -> Tuple[int, int]:
     r1 = 1 << ((n.bit_length() - 1) // 2)
-    r2 = n // r1
-    j1 = np.arange(r1, dtype=np.float64)
-    j2 = np.arange(r2, dtype=np.float64)
-    f1 = np.exp(-2j * np.pi * np.outer(j1, j1) / r1)
-    f2 = np.exp(-2j * np.pi * np.outer(j2, j2) / r2)
-    t = np.exp(-2j * np.pi * np.outer(j1, j2) / n)  # T[k1, j2]
-    to32 = lambda a: a.astype(np.float32)
-    return (
-        r1,
-        r2,
-        to32(f1.real), to32(f1.imag),
-        to32(f2.real), to32(f2.imag),
-        to32(t.real), to32(t.imag),
-    )
+    return r1, n // r1
 
 
-def _fft_block_kernel(r1, r2, n,
-                      xr_ref, xi_ref,
-                      f1r_ref, f1i_ref, f2r_ref, f2i_ref, tr_ref, ti_ref,
-                      or_ref, oi_ref):
-    """One (BB, n) batch block: transposed to slab layout in VMEM, two MXU
-    matmul passes, transposed back on store."""
-    bb = xr_ref.shape[0]
-    dot = functools.partial(
-        jnp.dot, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+def _fft_block_kernel(r1, r2, n, xr_ref, xi_ref, or_ref, oi_ref):
+    """One (BB, n) batch block: transposed to slab layout in VMEM (transform
+    axis on sublanes, batch on lanes), the shared slab DFT (stacked-real
+    complex matmuls at Precision.HIGHEST — keeps the reference's
+    per-element atol=rtol=1e-5 test tolerance at small n), transposed back
+    on store. Tables are generated in-kernel (no dense MLIR constants —
+    the remote compiler 413s on multi-MiB payloads). See
+    pallas_stream._dft_slab / _gen_dft_tables."""
+    from .pallas_stream import _dft_slab, _gen_dft_tables
+
+    mats1, mats2, tr, ti = _gen_dft_tables(n, r1, r2, -1, 'f32')
+    cr, ci = _dft_slab(
+        xr_ref[:].T, xi_ref[:].T, n, r1, r2, mats1, mats2, tr, ti,
     )
-    # slab layout: transform axis on sublanes, batch on lanes
-    xr = xr_ref[:].T
-    xi = xi_ref[:].T
-    # M[j1, (j2, b)]
-    mr = xr.reshape(r1, r2 * bb)
-    mi = xi.reshape(r1, r2 * bb)
-    f1r, f1i = f1r_ref[:], f1i_ref[:]
-    # A = F1 @ M (complex via 4 real matmuls)
-    ar = dot(f1r, mr) - dot(f1i, mi)
-    ai = dot(f1r, mi) + dot(f1i, mr)
-    # twiddle T[k1, j2] broadcast over lanes
-    tr = tr_ref[:].reshape(r1, r2, 1)
-    ti = ti_ref[:].reshape(r1, r2, 1)
-    a3r = ar.reshape(r1, r2, bb)
-    a3i = ai.reshape(r1, r2, bb)
-    br = a3r * tr - a3i * ti
-    bi = a3r * ti + a3i * tr
-    # C = F2 @ B^T: rearrange to [j2, (k1, b)]
-    b2r = br.transpose(1, 0, 2).reshape(r2, r1 * bb)
-    b2i = bi.transpose(1, 0, 2).reshape(r2, r1 * bb)
-    f2r, f2i = f2r_ref[:], f2i_ref[:]
-    cr = dot(f2r, b2r) - dot(f2i, b2i)
-    ci = dot(f2r, b2i) + dot(f2i, b2r)
-    # rows of C are k2-major, k1-minor == output index k = k1 + r1*k2
-    or_ref[:] = cr.reshape(n, bb).T
-    oi_ref[:] = ci.reshape(n, bb).T
+    or_ref[:] = cr.T
+    oi_ref[:] = ci.T
 
 
 def _interpret() -> bool:
@@ -122,14 +89,14 @@ def _vmem_limit(n: int, bb: int) -> int:
     return max(16 * 2**20, min(2 * need, 64 * 2**20))
 
 
-def _pallas_fft_block(xr, xi, n, consts):
-    r1, r2 = _consts(n)[:2]
+def _pallas_fft_block(xr, xi, n):
+    r1, r2 = _radices(n)
     bb = xr.shape[0]
     kernel = functools.partial(_fft_block_kernel, r1, r2, n)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        in_specs=[full] * 8,
+        in_specs=[full] * 2,
         out_specs=(full, full),
         out_shape=(
             jax.ShapeDtypeStruct((bb, n), jnp.float32),
@@ -144,7 +111,7 @@ def _pallas_fft_block(xr, xi, n, consts):
             vmem_limit_bytes=_vmem_limit(n, bb)
         ),
         interpret=_interpret(),
-    )(xr, xi, *consts)
+    )(xr, xi)
 
 
 def fft_base_planar(xr: jax.Array, xi: jax.Array, n: int):
@@ -160,15 +127,14 @@ def fft_base_planar(xr: jax.Array, xi: jax.Array, n: int):
         pad = ((0, b_pad - b), (0, 0))
         xr = jnp.pad(xr, pad)
         xi = jnp.pad(xi, pad)
-    consts = tuple(jnp.asarray(a) for a in _consts(n)[2:])
     n_chunks = b_pad // bb
     if n_chunks == 1:
-        yr, yi = _pallas_fft_block(xr, xi, n, consts)
+        yr, yi = _pallas_fft_block(xr, xi, n)
     else:
         yrs, yis = [], []
         for c in range(n_chunks):
             cr, ci = _pallas_fft_block(
-                xr[c * bb:(c + 1) * bb], xi[c * bb:(c + 1) * bb], n, consts
+                xr[c * bb:(c + 1) * bb], xi[c * bb:(c + 1) * bb], n
             )
             yrs.append(cr)
             yis.append(ci)

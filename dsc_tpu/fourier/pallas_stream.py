@@ -19,10 +19,10 @@ while the MXU does the butterflies:
 
 The inter-stage twiddle T[k1, j2] = exp(-2i*pi*k1*j2/n) is (n1, n2) — as
 big as the data — so it is never materialized: per tile it factors as
-T[k, tile*128+c] = A_t[k] * B[k, c] with B = W_n^{k*c} (c < 128) a fixed
-(n1, 128) table and A_t[k] = W_n^{128*t*k} generated in-kernel from an
-integer iota (exact mod-n reduction keeps the trig argument in [0, 2pi),
-so f32 cos/sin stay accurate at n = 2^24).
+T[k, tile*128+c] = A_t[k] * B[k, c]; BOTH factors are generated in-kernel
+from integer iotas (exact mod-n reduction keeps the f32 trig argument in
+[0, 2pi) so cos/sin stay accurate at n = 2^24). Uploading B instead would
+embed multi-MiB HLO constants and overflow the remote-compile body limit.
 
 Inverse transforms use sign-flipped tables (not the conj sandwich — a
 conjugation at this size is an extra HBM pass); rfft streams a real-only
@@ -30,8 +30,9 @@ phase A (half the matmuls, half the read traffic); irfft writes only the
 real output plane.
 
 Reference parity: this is the performance path for dsc_fft/dsc_rfft at
-large n (reference dsc.cpp:1955-2340); numerics match the XLA four-step
-path (same f64-computed tables downcast to f32).
+large n (reference dsc.cpp:1955-2340); the XLA four-step path
+(core.fft_apply_p) remains the reference numerics and the fallback for
+batched/odd-size/CPU cases.
 
 Mosaic/axon constraints honored (see memory notes): gridless kernels,
 fori_loop with i32 bounds, pl.multiple_of hints on DMA offsets, 128-lane
@@ -73,60 +74,37 @@ def supported(n1: int, n2: int, dtype) -> bool:
     return n1 % LANES == 0 and n2 % LANES == 0
 
 
-def _stack_complex(f: np.ndarray) -> np.ndarray:
-    """Complex matrix -> real 2x2 block form [[Fr, -Fi], [Fi, Fr]] so the
-    complex product is ONE real matmul on stacked planar operands. For
-    r = 64 factors this doubles every matmul dim to 128 — a full MXU tile
-    instead of a quarter-utilized 64x64 one (the streaming kernel is
-    MXU-bound without this: measured 3.48 ms -> compute-limited)."""
-    top = np.concatenate([f.real, -f.imag], axis=1)
-    bot = np.concatenate([f.imag, f.real], axis=1)
-    return np.concatenate([top, bot], axis=0).astype(np.float32)
+def _iota_trig(rows, cols, modn, period, sign):
+    """(cos, sin) of W_period^{sign*j*k} over a (rows, cols) index grid,
+    computed from integer iotas with exact mod-period reduction so the f32
+    trig argument stays in (-2pi, 2pi) — accurate even at period = 2^24."""
+    a = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) * \
+        jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    ph = jax.lax.rem(a, jnp.int32(modn)).astype(jnp.float32) * \
+        jnp.float32(sign * 2.0 * np.pi / period)
+    return jnp.cos(ph), jnp.sin(ph)
 
 
-def _split_bf16_host(f: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """f32 matrix -> (hi, lo) bf16 pair with hi + lo ~ f to ~16 mantissa
-    bits. Three bf16 MXU passes on split operands give ~1e-5 relative
-    error at ~2x the throughput of Precision.HIGHEST (which Mosaic lowers
-    to 6 passes; measured 18 TFLOP/s vs bf16 peak ~197)."""
-    import jax.numpy as _jnp
+def _gen_dft_tables(n, r1, r2, sign, mode):
+    """Generate the slab-DFT tables IN-KERNEL: stacked-real F_r1/F_r2
+    ((hi, lo) bf16 split pairs for mode 'bf16', single f32 for mode 'f32'/
+    Precision.HIGHEST) and the planar inner twiddle T[k1, j2] =
+    W_n^{sign*k1*j2}.
 
-    hi = np.asarray(f, np.float32).astype(_jnp.bfloat16)
-    lo = (f - np.asarray(hi, np.float32)).astype(_jnp.bfloat16)
-    return np.asarray(hi), np.asarray(lo)
+    Generated, not uploaded: dense table constants embed as text in the
+    Mosaic MLIR payload, and the remote compiler rejects multi-MiB request
+    bodies (HTTP 413) once a chain holds several kernels. The trig costs
+    ~40K VPU transcendentals once per kernel invocation — noise."""
+    def stack(c, s):
+        top = jnp.concatenate([c, -s], axis=1)
+        bot = jnp.concatenate([s, c], axis=1)
+        f = jnp.concatenate([top, bot], axis=0)
+        return _split_bf16(f) if mode == 'bf16' else (f,)
 
-
-@functools.lru_cache(maxsize=64)
-def _dft_consts(n: int, sign: int) -> Tuple[np.ndarray, ...]:
-    """Matrix-DFT tables for an n-point slab transform, n = r1*r2:
-    stacked-real F_r1 (2r1, 2r1), F_r2 (2r2, 2r2) as (hi, lo) bf16 splits,
-    and the planar inner twiddle T[k1, j2] = W_n^{sign*k1*j2} in f32.
-    All f64-computed (dsc_init_plan parity, dsc_fft.h:33-55)."""
-    r1 = 1 << ((n.bit_length() - 1) // 2)
-    r2 = n // r1
-    j1 = np.arange(r1, dtype=np.float64)
-    j2 = np.arange(r2, dtype=np.float64)
-    s = 2j * np.pi * sign
-    f1 = np.exp(s * np.outer(j1, j1) / r1)
-    f2 = np.exp(s * np.outer(j2, j2) / r2)
-    t = np.exp(s * np.outer(j1, j2) / n)
-    to32 = lambda a: np.ascontiguousarray(a).astype(np.float32)
-    f1h, f1l = _split_bf16_host(_stack_complex(f1))
-    f2h, f2l = _split_bf16_host(_stack_complex(f2))
-    return (f1h, f1l, f2h, f2l, to32(t.real), to32(t.imag))
-
-
-@functools.lru_cache(maxsize=32)
-def _wlane(n: int, n1: int, sign: int) -> Tuple[np.ndarray, np.ndarray]:
-    """B[k, c] = W_n^{sign*k*c}, k < n1, c < LANES (the lane factor of the
-    four-step twiddle)."""
-    k = np.arange(n1, dtype=np.float64)
-    c = np.arange(LANES, dtype=np.float64)
-    b = np.exp(2j * np.pi * sign * np.outer(k, c) / n)
-    return (
-        np.ascontiguousarray(b.real).astype(np.float32),
-        np.ascontiguousarray(b.imag).astype(np.float32),
-    )
+    f1 = stack(*_iota_trig(r1, r1, r1, r1, sign))
+    f2 = stack(*_iota_trig(r2, r2, r2, r2, sign))
+    tr, ti = _iota_trig(r1, r2, n, n, sign)
+    return f1, f2, tr, ti
 
 
 def _dot():
@@ -139,16 +117,22 @@ def _split_bf16(x):
     return hi, lo
 
 
-def _dot3(fh, fl, m):
-    """F @ m with F pre-split (hi, lo) bf16 and m f32: three native bf16
-    MXU passes, f32 accumulate — ~16-bit mantissa product (see
-    _split_bf16_host)."""
+def _mm(mats, m):
+    """One stacked-complex matmul stage. mats is (hi, lo) bf16 -> three
+    native bf16 MXU passes, f32 accumulate (~2x Precision.HIGHEST's six
+    passes; ~1e-5 relative — the hi/lo data split's own residual, so a
+    fourth lo*lo pass does not help). mats is a 1-tuple f32 -> one
+    HIGHEST matmul (~1e-7)."""
     dot = _dot()
-    mh, ml = _split_bf16(m)
-    return dot(fh, mh) + (dot(fl, mh) + dot(fh, ml))
+    if len(mats) == 2:
+        fh, fl = mats
+        mh, ml = _split_bf16(m)
+        return dot(fh, mh) + (dot(fl, mh) + dot(fh, ml))
+    return jnp.dot(mats[0], m, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
-def _dft_slab(sr, si, n, r1, r2, f1h, f1l, f2h, f2l, tr, ti):
+def _dft_slab(sr, si, n, r1, r2, mats1, mats2, tr, ti):
     """DFT over the sublane axis of an (n, L) slab; si may be None for
     real input. Returns (n, L) planar slabs in natural order.
 
@@ -159,10 +143,10 @@ def _dft_slab(sr, si, n, r1, r2, f1h, f1l, f2h, f2l, tr, ti):
     mr = sr.reshape(r1, r2 * lanes)
     if si is None:
         # real input: only the left block-column of F1s contributes
-        a2 = _dot3(f1h[:, :r1], f1l[:, :r1], mr)
+        a2 = _mm(tuple(f[:, :r1] for f in mats1), mr)
     else:
         mi = si.reshape(r1, r2 * lanes)
-        a2 = _dot3(f1h, f1l, jnp.concatenate([mr, mi], axis=0))
+        a2 = _mm(mats1, jnp.concatenate([mr, mi], axis=0))
     t3r = tr.reshape(r1, r2, 1)
     t3i = ti.reshape(r1, r2, 1)
     a3r = a2[:r1].reshape(r1, r2, lanes)
@@ -171,7 +155,7 @@ def _dft_slab(sr, si, n, r1, r2, f1h, f1l, f2h, f2l, tr, ti):
     bi = a3r * t3i + a3i * t3r
     b2r = br.transpose(1, 0, 2).reshape(r2, r1 * lanes)
     b2i = bi.transpose(1, 0, 2).reshape(r2, r1 * lanes)
-    c2 = _dot3(f2h, f2l, jnp.concatenate([b2r, b2i], axis=0))
+    c2 = _mm(mats2, jnp.concatenate([b2r, b2i], axis=0))
     return c2[:r2].reshape(n, lanes), c2[r2:].reshape(n, lanes)
 
 
@@ -179,10 +163,10 @@ def _phase_a_kernel(n1, n2, sign, real_input, *refs):
     """Column DFT + four-step twiddle + transpose:
     x (n1, n2) planar HBM -> Z (n2, n1) planar HBM."""
     if real_input:
-        (xr, f1h, f1l, f2h, f2l, tr, ti, blr, bli, zr, zi) = refs
+        (xr, zr, zi) = refs
         xi = None
     else:
-        (xr, xi, f1h, f1l, f2h, f2l, tr, ti, blr, bli, zr, zi) = refs
+        (xr, xi, zr, zi) = refs
     n_tiles = n2 // LANES
     r1 = 1 << ((n1.bit_length() - 1) // 2)
     r2 = n1 // r1
@@ -218,10 +202,17 @@ def _phase_a_kernel(n1, n2, sign, real_input, *refs):
         for cp in in_dma(0, 0):
             cp.start()
 
-        # in-kernel twiddle row factor: A_t[k] = W_n^{sign*128*t*k};
-        # integer mod keeps the trig argument small and exact
+        # Four-step twiddle T[k, t*L+c] = A_t[k] * B[k, c], both generated
+        # in-kernel from integer iotas (exact mod-n keeps the f32 trig
+        # argument in [0, 2pi)). B is tile-independent: computed once here.
+        # Generating (rather than uploading) B matters beyond VPU cost:
+        # a (n1, 128) f32 table closed over inside jit becomes an HLO
+        # constant, and the remote-compile request body overflows (HTTP
+        # 413) once a few kernels embed 2 MiB tables each.
         kio = jax.lax.broadcasted_iota(jnp.int32, (n1, 1), 0)
         two_pi_over_n = jnp.float32(sign * 2.0 * np.pi / n)
+        blr, bli = _iota_trig(n1, LANES, n, n, sign)
+        mats1, mats2, tr, ti = _gen_dft_tables(n1, r1, r2, sign, 'bf16')
 
         def loop(t, carry):
             slot = jax.lax.rem(t, jnp.int32(2))
@@ -236,16 +227,15 @@ def _phase_a_kernel(n1, n2, sign, real_input, *refs):
                 cp.wait()
             sr = bufs_r[slot]
             si = None if xi is None else bufs_i[slot]
-            cr, ci = _dft_slab(sr, si, n1, r1, r2, f1h[:], f1l[:],
-                               f2h[:], f2l[:], tr[:], ti[:])
+            cr, ci = _dft_slab(sr, si, n1, r1, r2, mats1, mats2, tr, ti)
             # four-step twiddle: (A_t[k] * B[k, c]) applied to (n1, L)
             step = jax.lax.rem(jnp.int32(LANES) * t, jnp.int32(n))
             itk = jax.lax.rem(step * kio, jnp.int32(n))
             ph = itk.astype(jnp.float32) * two_pi_over_n
             atr = jnp.cos(ph)
             ati = jnp.sin(ph)
-            twr = atr * blr[:] - ati * bli[:]
-            twi = atr * bli[:] + ati * blr[:]
+            twr = atr * blr - ati * bli
+            twi = atr * bli + ati * blr
             yr = cr * twr - ci * twi
             yi = cr * twi + ci * twr
             # transpose to (L, n1) so the Z write is contiguous; wait for
@@ -279,14 +269,14 @@ def _phase_a_kernel(n1, n2, sign, real_input, *refs):
     )
 
 
-def _phase_b_kernel(n1, n2, scale, real_output, *refs):
+def _phase_b_kernel(n1, n2, sign, scale, real_output, *refs):
     """Row DFT: Z (n2, n1) planar HBM -> X (n2, n1) planar HBM (slab
     layout == output layout, no transpose)."""
     if real_output:
-        (zr, zi, f1h, f1l, f2h, f2l, tr, ti, xor_) = refs
+        (zr, zi, xor_) = refs
         xoi = None
     else:
-        (zr, zi, f1h, f1l, f2h, f2l, tr, ti, xor_, xoi) = refs
+        (zr, zi, xor_, xoi) = refs
     n_tiles = n1 // LANES
     r1 = 1 << ((n2.bit_length() - 1) // 2)
     r2 = n2 // r1
@@ -321,6 +311,8 @@ def _phase_b_kernel(n1, n2, scale, real_output, *refs):
         for cp in in_dma(0, 0):
             cp.start()
 
+        mats1, mats2, tr, ti = _gen_dft_tables(n2, r1, r2, sign, 'bf16')
+
         def loop(t, carry):
             slot = jax.lax.rem(t, jnp.int32(2))
             nxt = jax.lax.rem(t + 1, jnp.int32(2))
@@ -333,7 +325,7 @@ def _phase_b_kernel(n1, n2, scale, real_output, *refs):
             for cp in in_dma(slot, t):
                 cp.wait()
             cr, ci = _dft_slab(bufs_r[slot], bufs_i[slot], n2, r1, r2,
-                               f1h[:], f1l[:], f2h[:], f2l[:], tr[:], ti[:])
+                               mats1, mats2, tr, ti)
 
             @pl.when(t >= 2)
             def _():
@@ -381,11 +373,6 @@ def _vmem_limit(nf: int) -> int:
     return min(max(32 * 2**20, 24 * nf * LANES * 4), 100 * 2**20)
 
 
-def _tables(n: int, sign: int):
-    a = _dft_consts(n, sign)
-    return tuple(jnp.asarray(x) for x in a)
-
-
 def fourstep_stream_p(
     xr: jax.Array,
     xi: Optional[jax.Array],
@@ -398,23 +385,21 @@ def fourstep_stream_p(
 
     xi may be None (real input, forward only). real_output drops the
     imaginary output plane (irfft tail). Inverse applies 1/n scaling via
-    sign-flipped tables — no conjugation passes.
+    sign-flipped tables — no conjugation passes. All tables are generated
+    in-kernel (see _gen_dft_tables), so the kernels take only data refs.
     """
     n = n1 * n2
     sign = 1 if inverse else -1
     anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
-    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     interp = _interpret()
 
-    a_consts = _tables(n1, sign)
-    blr, bli = (jnp.asarray(t) for t in _wlane(n, n1, sign))
     xr2 = xr.reshape(n1, n2)
     ins_a = (xr2,) if xi is None else (xr2, xi.reshape(n1, n2))
     kernel_a = functools.partial(
         _phase_a_kernel, n1, n2, sign, xi is None)
     zr, zi = pl.pallas_call(
         kernel_a,
-        in_specs=[anyspec] * len(ins_a) + [vmem] * 8,
+        in_specs=[anyspec] * len(ins_a),
         out_specs=(anyspec, anyspec),
         out_shape=(
             jax.ShapeDtypeStruct((n2, n1), jnp.float32),
@@ -424,12 +409,11 @@ def fourstep_stream_p(
             has_side_effects=True, vmem_limit_bytes=_vmem_limit(n1)
         ),
         interpret=interp,
-    )(*ins_a, *a_consts, blr, bli)
+    )(*ins_a)
 
-    b_consts = _tables(n2, sign)
     scale = (1.0 / n) if inverse else 1.0
     kernel_b = functools.partial(
-        _phase_b_kernel, n1, n2, scale, real_output)
+        _phase_b_kernel, n1, n2, sign, scale, real_output)
     out_shapes = (jax.ShapeDtypeStruct((n2, n1), jnp.float32),)
     out_specs = (anyspec,)
     if not real_output:
@@ -437,14 +421,14 @@ def fourstep_stream_p(
         out_specs += (anyspec,)
     outs = pl.pallas_call(
         kernel_b,
-        in_specs=[anyspec] * 2 + [vmem] * 6,
+        in_specs=[anyspec] * 2,
         out_specs=out_specs,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=_vmem_limit(n2)
         ),
         interpret=interp,
-    )(zr, zi, *b_consts)
+    )(zr, zi)
     if real_output:
         return outs[0].reshape(n), None
     return outs[0].reshape(n), outs[1].reshape(n)

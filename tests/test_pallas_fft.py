@@ -26,7 +26,8 @@ def test_fft_base_matches_numpy(n):
     got = np.asarray(pk.fft_base(np.asarray(x), n))
     ref = np.fft.fft(x, axis=-1)
     scale = max(np.abs(ref).max(), 1.0)
-    assert np.abs(got - ref).max() / scale < 2e-6
+    # split-bf16 three-pass matmuls: ~1e-5 relative (north star: 1e-4)
+    assert np.abs(got - ref).max() / scale < 3e-5
 
 
 def test_fft_base_chunked():
@@ -39,7 +40,7 @@ def test_fft_base_chunked():
     )
     got = np.asarray(pk.fft_base(np.asarray(x), n))
     ref = np.fft.fft(x, axis=-1)
-    assert np.abs(got - ref).max() / max(np.abs(ref).max(), 1.0) < 2e-6
+    assert np.abs(got - ref).max() / max(np.abs(ref).max(), 1.0) < 3e-5
 
 
 def test_full_fft_via_pallas_path():
@@ -51,11 +52,36 @@ def test_full_fft_via_pallas_path():
     assert all_close(got, np.fft.fft(x, axis=-1))
 
 
-def test_consts_are_f64_accurate():
-    # twiddle tables must come from f64 host math (SURVEY §7.3 risk 1)
-    r1, r2, f1r, f1i, *_ = pk._consts(1024)
+def test_generated_tables_accurate():
+    # the in-kernel table generator (integer iota + exact mod-n + trig)
+    # must reproduce the f64 DFT matrices to f32 precision (SURVEY §7.3
+    # risk 1); both the f32 ('f32'/HIGHEST, base kernel) and split-bf16
+    # ('bf16', streaming kernel) forms
+    import jax
+
+    from dsc_tpu.fourier.pallas_stream import _gen_dft_tables
+
+    r1 = r2 = 32
+    n = r1 * r2
     ref = np.exp(-2j * np.pi * np.outer(np.arange(r1), np.arange(r1)) / r1)
-    assert np.abs(f1r - ref.real.astype(np.float32)).max() == 0
+    top = np.concatenate([ref.real, -ref.imag], axis=1)
+    bot = np.concatenate([ref.imag, ref.real], axis=1)
+    stacked = np.concatenate([top, bot], axis=0)
+
+    (f1s,), _, tr, ti = jax.jit(
+        lambda: _gen_dft_tables(n, r1, r2, -1, 'f32')
+    )()
+    assert np.abs(np.asarray(f1s) - stacked).max() < 1e-6
+    tref = np.exp(
+        -2j * np.pi * np.outer(np.arange(r1), np.arange(r2)) / n
+    )
+    assert np.abs(np.asarray(tr) - tref.real).max() < 1e-6
+
+    (f1h, f1l), *_ = jax.jit(
+        lambda: _gen_dft_tables(n, r1, r2, -1, 'bf16')
+    )()
+    rec = np.asarray(f1h, np.float32) + np.asarray(f1l, np.float32)
+    assert np.abs(rec - stacked).max() < 2 ** -15
 
 
 def test_reconstruct_spectrum_kernel():
