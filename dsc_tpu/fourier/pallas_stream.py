@@ -159,6 +159,45 @@ def _dft_slab(sr, si, n, r1, r2, mats1, mats2, tr, ti):
     return c2[:r2].reshape(n, lanes), c2[r2:].reshape(n, lanes)
 
 
+def _pipe2(n_tiles, in_start, in_wait, step, out_wait):
+    """Software-pipelined streaming loop over two buffer sets with STATIC
+    buffer indices.
+
+    The natural dynamic form (``bufs[slot]`` with ``slot = t % 2``) defeats
+    Mosaic's memory disambiguation — it cannot prove the in-flight DMA's
+    destination slot is disjoint from the slot compute reads, so it
+    serializes DMA against compute (measured: each phase costs
+    DMA + compute instead of max(DMA, compute)). Unrolling the loop body
+    over the two buffer sets makes every buffer reference a distinct
+    memref and restores the overlap.
+
+    Callbacks take (s, t): s is the PYTHON-int buffer set (0/1), t the
+    traced tile index. ``step`` computes tile t from set s, waits the
+    prior out-DMA on that set, stores, and starts the out-DMA.
+    ``n_tiles`` must be even.
+    """
+    assert n_tiles % 2 == 0 and n_tiles >= 2, n_tiles
+    in_start(0, jnp.int32(0))
+
+    def body(i, carry):
+        for s in (0, 1):
+            t = 2 * i + s
+
+            @pl.when(t + 1 < n_tiles)
+            def _():
+                # fill the OTHER buffer set while this one computes
+                in_start(1 - s, t + 1)
+
+            in_wait(s, t)
+            step(s, t)
+        return carry
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_tiles // 2), body,
+                      jnp.int32(0))
+    for tt in (n_tiles - 2, n_tiles - 1):
+        out_wait(tt % 2, jnp.int32(tt))
+
+
 def _phase_a_kernel(n1, n2, sign, real_input, *refs):
     """Column DFT + four-step twiddle + transpose:
     x (n1, n2) planar HBM -> Z (n2, n1) planar HBM."""
@@ -172,35 +211,34 @@ def _phase_a_kernel(n1, n2, sign, real_input, *refs):
     r2 = n1 // r1
     n = n1 * n2
 
-    def body(bufs_r, bufs_i, outs_r, outs_i, in_sems, out_sems):
-        def in_dma(slot, t):
-            slot = jnp.asarray(slot, jnp.int32)
-            z, o = jnp.int32(0), jnp.int32(1)
+    def body(bufs_r0, bufs_r1, bufs_i0, bufs_i1,
+             outs_r0, outs_r1, outs_i0, outs_i1, in_sems, out_sems):
+        bufs_r = (bufs_r0, bufs_r1)
+        bufs_i = (bufs_i0, bufs_i1)
+        outs_r = (outs_r0, outs_r1)
+        outs_i = (outs_i0, outs_i1)
+
+        def in_dma(s, t):
             off = pl.multiple_of(t * jnp.int32(LANES), LANES)
             cps = [pltpu.make_async_copy(
-                xr.at[_ds0(n1), pl.ds(off, LANES)], bufs_r.at[slot],
-                in_sems.at[slot, z])]
+                xr.at[_ds0(n1), pl.ds(off, LANES)], bufs_r[s],
+                in_sems.at[jnp.int32(s), jnp.int32(0)])]
             if xi is not None:
                 cps.append(pltpu.make_async_copy(
-                    xi.at[_ds0(n1), pl.ds(off, LANES)], bufs_i.at[slot],
-                    in_sems.at[slot, o]))
+                    xi.at[_ds0(n1), pl.ds(off, LANES)], bufs_i[s],
+                    in_sems.at[jnp.int32(s), jnp.int32(1)]))
             return cps
 
-        def out_dma(slot, t):
-            slot = jnp.asarray(slot, jnp.int32)
-            z, o = jnp.int32(0), jnp.int32(1)
+        def out_dma(s, t):
             off = pl.multiple_of(t * jnp.int32(LANES), LANES)
             return [
                 pltpu.make_async_copy(
-                    outs_r.at[slot], zr.at[pl.ds(off, LANES), _ds0(n1)],
-                    out_sems.at[slot, z]),
+                    outs_r[s], zr.at[pl.ds(off, LANES), _ds0(n1)],
+                    out_sems.at[jnp.int32(s), jnp.int32(0)]),
                 pltpu.make_async_copy(
-                    outs_i.at[slot], zi.at[pl.ds(off, LANES), _ds0(n1)],
-                    out_sems.at[slot, o]),
+                    outs_i[s], zi.at[pl.ds(off, LANES), _ds0(n1)],
+                    out_sems.at[jnp.int32(s), jnp.int32(1)]),
             ]
-
-        for cp in in_dma(0, 0):
-            cp.start()
 
         # Four-step twiddle T[k, t*L+c] = A_t[k] * B[k, c], both generated
         # in-kernel from integer iotas (exact mod-n keeps the f32 trig
@@ -214,23 +252,13 @@ def _phase_a_kernel(n1, n2, sign, real_input, *refs):
         blr, bli = _iota_trig(n1, LANES, n, n, sign)
         mats1, mats2, tr, ti = _gen_dft_tables(n1, r1, r2, sign, 'bf16')
 
-        def loop(t, carry):
-            slot = jax.lax.rem(t, jnp.int32(2))
-            nxt = jax.lax.rem(t + 1, jnp.int32(2))
-
-            @pl.when(t + 1 < n_tiles)
-            def _():
-                for cp in in_dma(nxt, t + 1):
-                    cp.start()
-
-            for cp in in_dma(slot, t):
-                cp.wait()
-            sr = bufs_r[slot]
-            si = None if xi is None else bufs_i[slot]
-            cr, ci = _dft_slab(sr, si, n1, r1, r2, mats1, mats2, tr, ti)
+        def step(s, t):
+            si = None if xi is None else bufs_i[s][:]
+            cr, ci = _dft_slab(bufs_r[s][:], si, n1, r1, r2,
+                               mats1, mats2, tr, ti)
             # four-step twiddle: (A_t[k] * B[k, c]) applied to (n1, L)
-            step = jax.lax.rem(jnp.int32(LANES) * t, jnp.int32(n))
-            itk = jax.lax.rem(step * kio, jnp.int32(n))
+            stp = jax.lax.rem(jnp.int32(LANES) * t, jnp.int32(n))
+            itk = jax.lax.rem(stp * kio, jnp.int32(n))
             ph = itk.astype(jnp.float32) * two_pi_over_n
             atr = jnp.cos(ph)
             ati = jnp.sin(ph)
@@ -239,31 +267,35 @@ def _phase_a_kernel(n1, n2, sign, real_input, *refs):
             yr = cr * twr - ci * twi
             yi = cr * twi + ci * twr
             # transpose to (L, n1) so the Z write is contiguous; wait for
-            # the previous write on this slot to drain first
+            # the previous write from this buffer set to drain first
             @pl.when(t >= 2)
             def _():
-                for cp in out_dma(slot, t - 2):
+                for cp in out_dma(s, t - 2):
                     cp.wait()
 
-            outs_r[slot] = yr.T
-            outs_i[slot] = yi.T
-            for cp in out_dma(slot, t):
+            outs_r[s][:] = yr.T
+            outs_i[s][:] = yi.T
+            for cp in out_dma(s, t):
                 cp.start()
-            return carry
 
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_tiles), loop,
-                          jnp.int32(0))
-        for tt in (n_tiles - 2, n_tiles - 1):
-            if tt >= 0:
-                for cp in out_dma(tt % 2, tt):
-                    cp.wait()
+        _pipe2(
+            n_tiles,
+            lambda s, t: [cp.start() for cp in in_dma(s, t)],
+            lambda s, t: [cp.wait() for cp in in_dma(s, t)],
+            step,
+            lambda s, t: [cp.wait() for cp in out_dma(s, t)],
+        )
 
     pl.run_scoped(
         body,
-        bufs_r=pltpu.VMEM((2, n1, LANES), jnp.float32),
-        bufs_i=pltpu.VMEM((2, n1, LANES), jnp.float32),
-        outs_r=pltpu.VMEM((2, LANES, n1), jnp.float32),
-        outs_i=pltpu.VMEM((2, LANES, n1), jnp.float32),
+        bufs_r0=pltpu.VMEM((n1, LANES), jnp.float32),
+        bufs_r1=pltpu.VMEM((n1, LANES), jnp.float32),
+        bufs_i0=pltpu.VMEM((n1, LANES), jnp.float32),
+        bufs_i1=pltpu.VMEM((n1, LANES), jnp.float32),
+        outs_r0=pltpu.VMEM((LANES, n1), jnp.float32),
+        outs_r1=pltpu.VMEM((LANES, n1), jnp.float32),
+        outs_i0=pltpu.VMEM((LANES, n1), jnp.float32),
+        outs_i1=pltpu.VMEM((LANES, n1), jnp.float32),
         in_sems=pltpu.SemaphoreType.DMA((2, 2)),
         out_sems=pltpu.SemaphoreType.DMA((2, 2)),
     )
@@ -281,83 +313,76 @@ def _phase_b_kernel(n1, n2, sign, scale, real_output, *refs):
     r1 = 1 << ((n2.bit_length() - 1) // 2)
     r2 = n2 // r1
 
-    def body(bufs_r, bufs_i, outs_r, outs_i, in_sems, out_sems):
-        def in_dma(slot, t):
-            slot = jnp.asarray(slot, jnp.int32)
-            z, o = jnp.int32(0), jnp.int32(1)
+    def body(bufs_r0, bufs_r1, bufs_i0, bufs_i1,
+             outs_r0, outs_r1, outs_i0, outs_i1, in_sems, out_sems):
+        bufs_r = (bufs_r0, bufs_r1)
+        bufs_i = (bufs_i0, bufs_i1)
+        outs_r = (outs_r0, outs_r1)
+        outs_i = (outs_i0, outs_i1)
+
+        def in_dma(s, t):
             off = pl.multiple_of(t * jnp.int32(LANES), LANES)
             return [
                 pltpu.make_async_copy(
-                    zr.at[_ds0(n2), pl.ds(off, LANES)], bufs_r.at[slot],
-                    in_sems.at[slot, z]),
+                    zr.at[_ds0(n2), pl.ds(off, LANES)], bufs_r[s],
+                    in_sems.at[jnp.int32(s), jnp.int32(0)]),
                 pltpu.make_async_copy(
-                    zi.at[_ds0(n2), pl.ds(off, LANES)], bufs_i.at[slot],
-                    in_sems.at[slot, o]),
+                    zi.at[_ds0(n2), pl.ds(off, LANES)], bufs_i[s],
+                    in_sems.at[jnp.int32(s), jnp.int32(1)]),
             ]
 
-        def out_dma(slot, t):
-            slot = jnp.asarray(slot, jnp.int32)
-            z, o = jnp.int32(0), jnp.int32(1)
+        def out_dma(s, t):
             off = pl.multiple_of(t * jnp.int32(LANES), LANES)
             cps = [pltpu.make_async_copy(
-                outs_r.at[slot], xor_.at[_ds0(n2), pl.ds(off, LANES)],
-                out_sems.at[slot, z])]
+                outs_r[s], xor_.at[_ds0(n2), pl.ds(off, LANES)],
+                out_sems.at[jnp.int32(s), jnp.int32(0)])]
             if xoi is not None:
                 cps.append(pltpu.make_async_copy(
-                    outs_i.at[slot], xoi.at[_ds0(n2), pl.ds(off, LANES)],
-                    out_sems.at[slot, o]))
+                    outs_i[s], xoi.at[_ds0(n2), pl.ds(off, LANES)],
+                    out_sems.at[jnp.int32(s), jnp.int32(1)]))
             return cps
-
-        for cp in in_dma(0, 0):
-            cp.start()
 
         mats1, mats2, tr, ti = _gen_dft_tables(n2, r1, r2, sign, 'bf16')
 
-        def loop(t, carry):
-            slot = jax.lax.rem(t, jnp.int32(2))
-            nxt = jax.lax.rem(t + 1, jnp.int32(2))
-
-            @pl.when(t + 1 < n_tiles)
-            def _():
-                for cp in in_dma(nxt, t + 1):
-                    cp.start()
-
-            for cp in in_dma(slot, t):
-                cp.wait()
-            cr, ci = _dft_slab(bufs_r[slot], bufs_i[slot], n2, r1, r2,
+        def step(s, t):
+            cr, ci = _dft_slab(bufs_r[s][:], bufs_i[s][:], n2, r1, r2,
                                mats1, mats2, tr, ti)
 
             @pl.when(t >= 2)
             def _():
-                for cp in out_dma(slot, t - 2):
+                for cp in out_dma(s, t - 2):
                     cp.wait()
 
             if scale != 1.0:
-                s = jnp.float32(scale)
-                outs_r[slot] = cr * s
+                sc = jnp.float32(scale)
+                outs_r[s][:] = cr * sc
                 if xoi is not None:
-                    outs_i[slot] = ci * s
+                    outs_i[s][:] = ci * sc
             else:
-                outs_r[slot] = cr
+                outs_r[s][:] = cr
                 if xoi is not None:
-                    outs_i[slot] = ci
-            for cp in out_dma(slot, t):
+                    outs_i[s][:] = ci
+            for cp in out_dma(s, t):
                 cp.start()
-            return carry
 
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_tiles), loop,
-                          jnp.int32(0))
-        for tt in (n_tiles - 2, n_tiles - 1):
-            if tt >= 0:
-                for cp in out_dma(tt % 2, tt):
-                    cp.wait()
+        _pipe2(
+            n_tiles,
+            lambda s, t: [cp.start() for cp in in_dma(s, t)],
+            lambda s, t: [cp.wait() for cp in in_dma(s, t)],
+            step,
+            lambda s, t: [cp.wait() for cp in out_dma(s, t)],
+        )
 
     pl.run_scoped(
         body,
-        bufs_r=pltpu.VMEM((2, n2, LANES), jnp.float32),
-        bufs_i=pltpu.VMEM((2, n2, LANES), jnp.float32),
-        outs_r=pltpu.VMEM((2, n2, LANES), jnp.float32),
-        outs_i=pltpu.VMEM((2, n2, LANES), jnp.float32),
+        bufs_r0=pltpu.VMEM((n2, LANES), jnp.float32),
+        bufs_r1=pltpu.VMEM((n2, LANES), jnp.float32),
+        bufs_i0=pltpu.VMEM((n2, LANES), jnp.float32),
+        bufs_i1=pltpu.VMEM((n2, LANES), jnp.float32),
+        outs_r0=pltpu.VMEM((n2, LANES), jnp.float32),
+        outs_r1=pltpu.VMEM((n2, LANES), jnp.float32),
+        outs_i0=pltpu.VMEM((n2, LANES), jnp.float32),
+        outs_i1=pltpu.VMEM((n2, LANES), jnp.float32),
         in_sems=pltpu.SemaphoreType.DMA((2, 2)),
         out_sems=pltpu.SemaphoreType.DMA((2, 2)),
     )

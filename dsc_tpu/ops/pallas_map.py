@@ -41,71 +41,68 @@ def _ds0(size):
 
 
 def _map_kernel(fn, n_in, rows, *refs):
+    from dsc_tpu.fourier.pallas_stream import _pipe2
+
     ins = refs[:n_in]
     out = refs[n_in]
     total_rows = ins[0].shape[0]
     n_chunks = total_rows // rows
 
-    def body(bufs, obufs, in_sems, out_sems):
-        def in_dma(slot, t):
-            slot = jnp.asarray(slot, jnp.int32)
+    def body(*scratch):
+        # separate per-set buffers: static refs keep Mosaic's memory
+        # disambiguation happy so DMA overlaps compute (see _pipe2)
+        bufs = (scratch[:n_in], scratch[n_in:2 * n_in])
+        obufs = scratch[2 * n_in:2 * n_in + 2]
+        in_sems, out_sems = scratch[-2], scratch[-1]
+
+        def in_dma(s, t):
             off = pl.multiple_of(t * jnp.int32(rows), rows)
             return [
                 pltpu.make_async_copy(
                     ins[j].at[pl.ds(off, rows), _ds0(LANES)],
-                    bufs[j].at[slot],
-                    in_sems.at[slot, jnp.int32(j)],
+                    bufs[s][j],
+                    in_sems.at[jnp.int32(s), jnp.int32(j)],
                 )
                 for j in range(n_in)
             ]
 
-        def out_dma(slot, t):
-            slot = jnp.asarray(slot, jnp.int32)
+        def out_dma(s, t):
             off = pl.multiple_of(t * jnp.int32(rows), rows)
-            return pltpu.make_async_copy(
-                obufs.at[slot],
+            return [pltpu.make_async_copy(
+                obufs[s],
                 out.at[pl.ds(off, rows), _ds0(LANES)],
-                out_sems.at[slot],
-            )
+                out_sems.at[jnp.int32(s)],
+            )]
 
-        for cp in in_dma(0, 0):
-            cp.start()
-
-        def loop(t, carry):
-            slot = jax.lax.rem(t, jnp.int32(2))
-            nxt = jax.lax.rem(t + 1, jnp.int32(2))
-
-            @pl.when(t + 1 < n_chunks)
-            def _():
-                for cp in in_dma(nxt, t + 1):
-                    cp.start()
-
-            for cp in in_dma(slot, t):
-                cp.wait()
-            y = fn(*[bufs[j][slot] for j in range(n_in)])
+        def step(s, t):
+            y = fn(*[bufs[s][j][:] for j in range(n_in)])
 
             @pl.when(t >= 2)
             def _():
-                out_dma(slot, t - 2).wait()
+                for cp in out_dma(s, t - 2):
+                    cp.wait()
 
-            obufs[slot] = y
-            out_dma(slot, t).start()
-            return carry
+            obufs[s][:] = y
+            for cp in out_dma(s, t):
+                cp.start()
 
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_chunks), loop,
-                          jnp.int32(0))
-        for tt in (n_chunks - 2, n_chunks - 1):
-            if tt >= 0:
-                out_dma(tt % 2, tt).wait()
+        _pipe2(
+            n_chunks,
+            lambda s, t: [cp.start() for cp in in_dma(s, t)],
+            lambda s, t: [cp.wait() for cp in in_dma(s, t)],
+            step,
+            lambda s, t: [cp.wait() for cp in out_dma(s, t)],
+        )
 
-    pl.run_scoped(
-        body,
-        bufs=[pltpu.VMEM((2, rows, LANES), ins[j].dtype)
-              for j in range(n_in)],
-        obufs=pltpu.VMEM((2, rows, LANES), out.dtype),
-        in_sems=pltpu.SemaphoreType.DMA((2, n_in)),
-        out_sems=pltpu.SemaphoreType.DMA((2,)),
+    scratch = (
+        [pltpu.VMEM((rows, LANES), ins[j].dtype) for j in range(n_in)]
+        + [pltpu.VMEM((rows, LANES), ins[j].dtype) for j in range(n_in)]
+        + [pltpu.VMEM((rows, LANES), out.dtype),
+           pltpu.VMEM((rows, LANES), out.dtype)]
+        + [pltpu.SemaphoreType.DMA((2, n_in)),
+           pltpu.SemaphoreType.DMA((2,))]
     )
+    pl.run_scoped(body, *scratch)
 
 
 def _interpret() -> bool:
@@ -119,7 +116,8 @@ def eligible(shapes, dtypes) -> bool:
     if len({tuple(s) for s in shapes}) != 1:
         return False
     ne = int(np.prod(shapes[0])) if shapes[0] else 0
-    if ne < CHUNK_ROWS * LANES * 2 or ne % (CHUNK_ROWS * LANES):
+    # an even number of whole chunks (the pipelined loop is unrolled x2)
+    if ne < CHUNK_ROWS * LANES * 2 or ne % (2 * CHUNK_ROWS * LANES):
         return False
     if any(np.dtype(d) not in (np.dtype(np.float32),) for d in dtypes):
         return False
