@@ -1,20 +1,27 @@
 """FFT benchmark vs NumPy (reference benchmarks/python/bench_fft.py:
 forward only, GFLOPS via 5*N*log2(N) for fft and 2.5*N*log2(N) for rfft;
-sweep extended to 2^24 per BASELINE.json config 3, with plan-cache stress)."""
+sweep extended to 2^24 per BASELINE config 3, with a batched suite and
+>16-plan cache stress). Emits benchmarks/results_fft.json."""
 
-import math
+import json
+import os
 import sys
+import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo root
 import dsc_tpu as dsc
+from dsc_tpu.fourier import plan as fft_plan
 from utils import bench, bench_host
+
+RESULTS = []
 
 
 def main():
     dsc.init(int(8 * 2**30))
 
-    print('== 1-D fft/rfft forward, f32/c32 ==')
+    print('== 1-D fft/rfft forward, f32/c32 (public API) ==')
     print(f'{"N":>9} {"dsc fft":>12} {"np fft":>12} {"dsc GF/s":>9} '
           f'{"np GF/s":>9} {"rfft GF/s":>10}')
     for e in range(8, 25, 2):
@@ -27,30 +34,41 @@ def main():
         xcd = dsc.from_numpy(xc)
         xrd = dsc.from_numpy(xr)
 
-        td = bench(lambda: dsc.fft(xcd).jax)
+        def _sync(t):
+            # planar results sync via their planes; dense via .jax
+            pp = t._planar
+            return (pp.re, pp.im) if pp is not None else t.jax
+
+        td = bench(lambda: _sync(dsc.fft(xcd)))
         tn = bench_host(lambda: np.fft.fft(xc))
-        tr = bench(lambda: dsc.rfft(xrd).jax)
+        tr = bench(lambda: _sync(dsc.rfft(xrd)))
+        RESULTS.append({'bench': 'fft1d', 'log2n': e, 'fft_s': td,
+                        'rfft_s': tr, 'numpy_fft_s': tn,
+                        'fft_gflops': flops_c / td / 1e9,
+                        'rfft_gflops': flops_r / tr / 1e9})
 
         print(f'2^{e:<7} {td * 1e6:10.1f}us {tn * 1e6:10.1f}us '
               f'{flops_c / td / 1e9:9.1f} {flops_c / tn / 1e9:9.1f} '
               f'{flops_r / tr / 1e9:10.1f}')
 
-    print('\n== batched fft 2^12 x batch ==')
-    for b in (8, 128, 2048):
-        x = (np.random.randn(b, 4096) + 1j * np.random.randn(b, 4096)).astype(
+    print('\n== batched fft suite (BASELINE config 3) ==')
+    for b, e in ((2048, 12), (256, 16), (64, 18), (16, 20), (4, 22)):
+        n = 2**e
+        x = (np.random.randn(b, n) + 1j * np.random.randn(b, n)).astype(
             np.complex64
         )
         xd = dsc.from_numpy(x)
         td = bench(lambda: dsc.fft(xd).jax)
+        gf = 5 * n * e * b / td / 1e9
         tn = bench_host(lambda: np.fft.fft(x, axis=-1))
-        gf = 5 * 4096 * 12 * b / td / 1e9
-        print(f'  batch {b:5d}: dsc {td * 1e3:8.2f} ms ({gf:7.1f} GF/s)  '
-              f'numpy {tn * 1e3:8.2f} ms  ({tn / td:5.2f}x)')
+        RESULTS.append({'bench': 'fft_batched', 'batch': b, 'log2n': e,
+                        'dsc_s': td, 'numpy_s': tn, 'gflops': gf})
+        print(f'  {b:5d} x 2^{e:<3}: dsc {td * 1e3:8.2f} ms ({gf:7.1f} GF/s)  '
+              f'numpy {tn * 1e3:8.2f} ms  ({tn / td:6.2f}x)')
 
     print('\n== plan-cache stress (>16 plans) ==')
-    import time
-
     t0 = time.perf_counter()
+    n_plans = 0
     for e in range(6, 16):
         for kind in ('c', 'r'):
             n = 2**e
@@ -61,8 +79,19 @@ def main():
             else:
                 x = dsc.from_numpy(np.random.randn(n).astype(np.float32))
                 dsc.rfft(x).jax.block_until_ready()
-    print(f'  20 distinct plans executed in {time.perf_counter() - t0:.1f}s '
-          f'(cache holds {dsc.fft.__module__ and 16})')
+            n_plans += 1
+    dt = time.perf_counter() - t0
+    RESULTS.append({'bench': 'plan_stress', 'plans': n_plans, 'seconds': dt,
+                    'cache_cap': fft_plan.MAX_FFT_PLANS,
+                    'cache_now': fft_plan.num_plans()})
+    print(f'  {n_plans} distinct plans executed in {dt:.1f}s '
+          f'(cache cap {fft_plan.MAX_FFT_PLANS}, holding '
+          f'{fft_plan.num_plans()})')
+
+    out_path = os.path.join(os.path.dirname(__file__), 'results_fft.json')
+    with open(out_path, 'w') as f:
+        json.dump(RESULTS, f, indent=1)
+    print(f'\n{len(RESULTS)} measurements -> {out_path}')
 
 
 if __name__ == '__main__':

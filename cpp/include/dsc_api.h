@@ -232,6 +232,26 @@ DSC_DEFINE_OP(*, mul)
 DSC_DEFINE_OP(/, div)
 #undef DSC_DEFINE_OP
 
+// in-place forms (reference dsc_api.h:148-189 includes +=, -=, *=, /=);
+// result rebinds the left tensor's handle (move assignment frees the old)
+#define DSC_DEFINE_INPLACE_OP(OP)                                             \
+    template <typename T>                                                     \
+    tensor<T> &operator OP##=(tensor<T> &a, const tensor<T> &b) {             \
+        a = a OP b;                                                           \
+        return a;                                                             \
+    }                                                                         \
+    template <typename T, typename S>                                         \
+    tensor<T> &operator OP##=(tensor<T> &a, S s) {                            \
+        a = a OP s;                                                           \
+        return a;                                                             \
+    }
+
+DSC_DEFINE_INPLACE_OP(+)
+DSC_DEFINE_INPLACE_OP(-)
+DSC_DEFINE_INPLACE_OP(*)
+DSC_DEFINE_INPLACE_OP(/)
+#undef DSC_DEFINE_INPLACE_OP
+
 template <typename T>
 tensor<T> pow(const tensor<T> &a, const tensor<T> &b) {
     return tensor<T>(dsc_pow(a.handle(), b.handle()));

@@ -71,6 +71,17 @@ int main() {
     auto sq = dsc::sqrt(dsc::clip(a, 1.0, 4.0));
     CHECK(std::fabs(sq.to_vector()[7] - 2.0f) < 1e-6, "clip+sqrt");
 
+    // in-place operators (reference dsc_api.h:148-189 incl. /=)
+    auto ip = dsc::arange<float>(8);
+    ip += 1.0f;
+    ip *= 2.0f;
+    ip /= 4.0f;
+    ip -= 0.5f;
+    CHECK(std::fabs(ip.to_vector()[3] - 1.5f) < 1e-6, "in-place scalar ops");
+    auto ip2 = dsc::arange<float>(8);
+    ip2 += ip2;
+    CHECK(std::fabs(ip2.to_vector()[3] - 6.0f) < 1e-6, "in-place tensor add");
+
     auto total = dsc::sum(a, -1, false);
     CHECK(std::fabs(total.to_vector()[0] - 28.0f) < 1e-5, "sum");
 

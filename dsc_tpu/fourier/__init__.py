@@ -21,8 +21,9 @@ import numpy as np
 
 from .. import interop, tracing
 from ..dtype import DTYPE_TO_NP, Dtype
+from ..planar import Planar
 from ..tensor import Tensor, _finish
-from . import core, plan
+from . import config, core, plan
 from .plan import next_pow2
 
 __all__ = [
@@ -75,14 +76,52 @@ def _exec_input(x: Tensor, cdt) -> 'object':
     return interop.move(x.jax, interop.device_for_np_dtype(cdt))
 
 
+def _stream_1d(x: Tensor, ax: int, full_n: int):
+    """(n1, n2) when the streaming planar path serves this call: an
+    effectively 1-D f32/c32 transform whose size the two-pass kernel
+    supports (config.use_stream). None otherwise."""
+    if x.ne != x.shape[ax]:  # other dims must all be 1
+        return None
+    spec = plan.build_spec(full_n)
+    if not config.use_stream(np.complex64, 1, spec):
+        return None
+    return spec[1], spec[2]
+
+
+def _planar_out_shape(x: Tensor, ax: int, out_n: int):
+    return tuple(out_n if i == ax else d for i, d in enumerate(x.shape))
+
+
 def _fft_like(x: Tensor, out, n: int, axis: int, inverse: bool) -> Tensor:
     ax = _resolve_axis(x, axis)
     x_n = x.shape[ax]
     nn = next_pow2(n) if n > 0 else next_pow2(x_n)
+    name = 'ifft' if inverse else 'fft'
+
+    # planar streaming path: large 1-D f32/c32 transforms stay as float
+    # planes end-to-end (planar.py); no complex64 materializes on device
+    if out is None and x.dtype in (Dtype.F32, Dtype.C32):
+        nn12 = _stream_1d(x, ax, nn)
+        if nn12 is not None:
+            n1, n2 = nn12
+            pp = x._planar
+            with tracing.trace_op(name, 'op;fft', tracing.tensor_args(x=x)) as tr:
+                if pp is not None and pp.physical_ne == pp.ne:
+                    yr, yi = core.fft_stream_planar(
+                        pp.re, pp.im, n1, n2, inverse
+                    )
+                elif x.dtype == Dtype.F32:
+                    yr, yi = core.fft_stream_planar(x.jax, None, n1, n2, inverse)
+                else:
+                    yr, yi = core.fft_stream_from_dense(x.jax, n1, n2, inverse)
+                if tr:
+                    tr.result = (yr, yi)
+            return Tensor._from_planar(
+                Planar(yr, yi, _planar_out_shape(x, ax, nn))
+            )
 
     cdt = _work_cdtype(x.dtype)
     spec, tables = plan.get_plan(nn, 'complex', cdt)
-    name = 'ifft' if inverse else 'fft'
     with tracing.trace_op(name, 'op;fft', tracing.tensor_args(x=x)) as tr:
         res = core.fft_nd(
             _exec_input(x, cdt), tables, spec, nn, ax, inverse, np.dtype(cdt).name
@@ -100,6 +139,23 @@ def rfft(x: Tensor, out: Optional[Tensor] = None, n: int = -1, axis: int = -1) -
     # fft_order = pow2(n or x_n) >> 1; out_n = fft_order + 1
     # (reference dsc.cpp:2194-2197)
     full_n = next_pow2(n) if n > 0 else next_pow2(x_n)
+
+    # planar streaming path: the full n-point spectrum stays as float
+    # planes with the logical n/2+1 prefix exposed (hermitian-full layout,
+    # planar.py) — no spectrum slice, no complex64 materialization
+    if out is None and x.dtype == Dtype.F32:
+        nn12 = _stream_1d(x, ax, full_n)
+        if nn12 is not None:
+            n1, n2 = nn12
+            with tracing.trace_op('rfft', 'op;fft', tracing.tensor_args(x=x)) as tr:
+                yr, yi = core.rfft_stream_full(x.jax, n1, n2)
+                if tr:
+                    tr.result = (yr, yi)
+            return Tensor._from_planar(Planar(
+                yr, yi, _planar_out_shape(x, ax, full_n // 2 + 1),
+                hermitian=True,
+            ))
+
     cdt = _work_cdtype(x.dtype)
     spec, tables = plan.get_plan(full_n, 'real', cdt)
     with tracing.trace_op('rfft', 'op;fft', tracing.tensor_args(x=x)) as tr:
@@ -118,6 +174,29 @@ def irfft(x: Tensor, out: Optional[Tensor] = None, n: int = -1, axis: int = -1) 
     # (reference dsc.cpp:2198-2201)
     order = next_pow2(n - 1) if n > 0 else next_pow2(x_n - 1)
     full_n = order * 2
+
+    # hermitian-full fast path: the input already holds the whole valid
+    # spectrum as float planes (a large-rfft result, possibly transformed
+    # by symmetry-preserving ops) — the inverse is a straight full-size
+    # transform with a real output; no Hermitian reconstruction pass
+    pp = x._planar
+    if (
+        out is None
+        and pp is not None
+        and pp.hermitian
+        and pp.full_n == full_n
+    ):
+        nn12 = _stream_1d(x, ax, full_n)
+        if nn12 is not None:
+            n1, n2 = nn12
+            with tracing.trace_op('irfft', 'op;fft', tracing.tensor_args(x=x)) as tr:
+                y = core.irfft_stream_from_full(pp.re, pp.im, n1, n2)
+                if tr:
+                    tr.result = y
+            return Tensor._from_jax(
+                y.reshape(_planar_out_shape(x, ax, full_n))
+            )
+
     cdt = DTYPE_TO_NP[x.dtype]
     spec, tables = plan.get_plan(full_n, 'real', cdt)
     with tracing.trace_op('irfft', 'op;fft', tracing.tensor_args(x=x)) as tr:

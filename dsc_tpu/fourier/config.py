@@ -45,12 +45,20 @@ def use_pallas(dtype, n: int) -> bool:
     return _on_tpu()
 
 
+# Largest batch*n the streaming kernel takes on at once: the planar
+# intermediate is 8 bytes/element (2 f32 planes in + 2 out), so 2^27
+# elements keeps it within ~1 GiB of the 16 GiB HBM.
+STREAM_MAX_ELEMS = 2**27
+
+
 def use_stream(dtype, batch: int, spec) -> bool:
-    """Route a single-level ('split', n1, n2, base, base) transform of one
-    vector to the streaming two-pass kernel."""
-    if STREAM_MODE == 'off' or batch != 1:
+    """Route a single-level ('split', n1, n2, base, base) transform —
+    single vector or a batch of rows — to the streaming two-pass kernel."""
+    if STREAM_MODE == 'off' or batch < 1:
         return False
     if spec[0] != 'split' or spec[3][0] != 'base' or spec[4][0] != 'base':
+        return False
+    if batch * spec[1] * spec[2] > STREAM_MAX_ELEMS:
         return False
     from . import pallas_stream
 

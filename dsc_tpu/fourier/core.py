@@ -122,10 +122,9 @@ def fft_batched_p(
     if _stream_ok(xr, spec):
         from . import pallas_stream
 
-        yr, yi = pallas_stream.fourstep_stream_p(
-            xr.reshape(n), xi.reshape(n), spec[1], spec[2], inverse
+        return pallas_stream.fourstep_stream_p(
+            xr, xi, spec[1], spec[2], inverse
         )
-        return yr.reshape(1, n), yi.reshape(1, n)
     if inverse:
         yr, yi = fft_apply_p(xr, -xi, spec, tables)
         scale = _one_over(n, xr.dtype)
@@ -165,10 +164,8 @@ def rfft_batched_p(
             from . import pallas_stream
 
             yr, yi = pallas_stream.fourstep_stream_p(
-                x.reshape(n), None, spec[1], spec[2], inverse=False
+                x, None, spec[1], spec[2], inverse=False
             )
-            yr = yr.reshape(1, n)
-            yi = yi.reshape(1, n)
         else:
             yr, yi = fft_apply_p(x, jnp.zeros_like(x), spec, w_tables)
         return yr[:, : nh + 1], yi[:, : nh + 1]
@@ -211,10 +208,10 @@ def irfft_batched_p(
             from . import pallas_stream
 
             yr, _ = pallas_stream.fourstep_stream_p(
-                fr.reshape(n), fi.reshape(n), spec[1], spec[2],
+                fr, fi, spec[1], spec[2],
                 inverse=True, real_output=True,
             )
-            return yr.reshape(1, n)
+            return yr
         yr, yi = fft_apply_p(fr, -fi, spec, w_tables)
         return yr * _one_over(n, yr.dtype)
     wur, wui = wu
@@ -277,6 +274,63 @@ def _pad_crop(x: jax.Array, target: int) -> jax.Array:
         return x[..., :target]
     pad = [(0, 0)] * (x.ndim - 1) + [(0, target - cur)]
     return jnp.pad(x, pad)
+
+
+# ---------------------------------------------------------------------------
+# planar public-path entries: large single-vector transforms on the
+# streaming kernel, float planes in / float planes out — the public Tensor
+# boundary stays planar (planar.py), so no complex64 ever materializes.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=('n1', 'n2'))
+def rfft_stream_full(x, n1, n2):
+    """(m,) real (any m; pad/crop to n = n1*n2) -> full-spectrum planes
+    (n,) each, natural order. The logical rfft output is the flat prefix
+    of length n//2+1; the upper half is the exact conjugate mirror
+    (hermitian-full layout, planar.py)."""
+    from . import pallas_stream
+
+    n = n1 * n2
+    x = _pad_crop(x.reshape(1, -1), n)[0]
+    return pallas_stream.fourstep_stream_p(x, None, n1, n2, inverse=False)
+
+
+@partial(jax.jit, static_argnames=('n1', 'n2'))
+def irfft_stream_from_full(fr, fi, n1, n2):
+    """Full-spectrum (n,) planes -> (n,) real inverse. Caller guarantees
+    the planes hold a valid Hermitian spectrum (hermitian flag)."""
+    from . import pallas_stream
+
+    n = n1 * n2
+    yr, _ = pallas_stream.fourstep_stream_p(
+        fr.reshape(n), fi.reshape(n), n1, n2, inverse=True, real_output=True
+    )
+    return yr
+
+
+@partial(jax.jit, static_argnames=('n1', 'n2', 'inverse'))
+def fft_stream_planar(xr, xi, n1, n2, inverse):
+    """(m,) planes (xi may be None for real input; pad/crop to n) ->
+    (n,) planes, forward or 1/n-scaled inverse."""
+    from . import pallas_stream
+
+    n = n1 * n2
+    xr = _pad_crop(xr.reshape(1, -1), n)[0]
+    if xi is not None:
+        xi = _pad_crop(xi.reshape(1, -1), n)[0]
+    return pallas_stream.fourstep_stream_p(xr, xi, n1, n2, inverse=inverse)
+
+
+@partial(jax.jit, static_argnames=('n1', 'n2', 'inverse'))
+def fft_stream_from_dense(x, n1, n2, inverse):
+    """Dense complex input -> (n,) planes (one split pass, fused with
+    pad/crop)."""
+    xr = _pad_crop(jnp.real(x).reshape(1, -1), n1 * n2)[0]
+    xi = _pad_crop(jnp.imag(x).reshape(1, -1), n1 * n2)[0]
+    from . import pallas_stream
+
+    return pallas_stream.fourstep_stream_p(xr, xi, n1, n2, inverse=inverse)
 
 
 @partial(jax.jit, static_argnames=('spec', 'n', 'axis', 'inverse', 'cdtype'))

@@ -177,7 +177,7 @@ def reconstruct_spectrum_p(xr: jax.Array, xi: jax.Array, n: int):
     xr = jnp.pad(xr.reshape(-1), (0, pad))
     xi = jnp.pad(xi.reshape(-1), (0, pad))
     kernel = functools.partial(_reconstruct_kernel, n, nh, CHUNK)
-    anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
     fr, fi = pl.pallas_call(
         kernel,
         in_specs=[anyspec, anyspec],

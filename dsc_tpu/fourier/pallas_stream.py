@@ -198,9 +198,13 @@ def _pipe2(n_tiles, in_start, in_wait, step, out_wait):
         out_wait(tt % 2, jnp.int32(tt))
 
 
-def _phase_a_kernel(n1, n2, sign, real_input, *refs):
+def _phase_a_kernel(n1, n2, batch, sign, real_input, *refs):
     """Column DFT + four-step twiddle + transpose:
-    x (n1, n2) planar HBM -> Z (n2, n1) planar HBM."""
+    x (batch*n1, n2) planar HBM -> Z (batch*n2, n1) planar HBM.
+
+    Rows [b*n1, (b+1)*n1) of x hold transform b's (n1, n2) matrix; the
+    tile loop runs batch*n_tiles iterations with dynamic row offsets, so
+    batching adds no compile size (the Mosaic grid bug rules out grid=)."""
     if real_input:
         (xr, zr, zi) = refs
         xi = None
@@ -218,25 +222,36 @@ def _phase_a_kernel(n1, n2, sign, real_input, *refs):
         outs_r = (outs_r0, outs_r1)
         outs_i = (outs_i0, outs_i1)
 
-        def in_dma(s, t):
+        def _split(tt):
+            """tile index -> (batch row b, column tile t)."""
+            if batch == 1:
+                return jnp.int32(0), tt
+            nt = jnp.int32(n_tiles)
+            return tt // nt, jax.lax.rem(tt, nt)
+
+        def in_dma(s, tt):
+            b, t = _split(tt)
+            roff = pl.multiple_of(b * jnp.int32(n1), n1)
             off = pl.multiple_of(t * jnp.int32(LANES), LANES)
             cps = [pltpu.make_async_copy(
-                xr.at[_ds0(n1), pl.ds(off, LANES)], bufs_r[s],
+                xr.at[pl.ds(roff, n1), pl.ds(off, LANES)], bufs_r[s],
                 in_sems.at[jnp.int32(s), jnp.int32(0)])]
             if xi is not None:
                 cps.append(pltpu.make_async_copy(
-                    xi.at[_ds0(n1), pl.ds(off, LANES)], bufs_i[s],
+                    xi.at[pl.ds(roff, n1), pl.ds(off, LANES)], bufs_i[s],
                     in_sems.at[jnp.int32(s), jnp.int32(1)]))
             return cps
 
-        def out_dma(s, t):
-            off = pl.multiple_of(t * jnp.int32(LANES), LANES)
+        def out_dma(s, tt):
+            b, t = _split(tt)
+            roff = pl.multiple_of(b * jnp.int32(n2) + t * jnp.int32(LANES),
+                                  LANES)
             return [
                 pltpu.make_async_copy(
-                    outs_r[s], zr.at[pl.ds(off, LANES), _ds0(n1)],
+                    outs_r[s], zr.at[pl.ds(roff, LANES), _ds0(n1)],
                     out_sems.at[jnp.int32(s), jnp.int32(0)]),
                 pltpu.make_async_copy(
-                    outs_i[s], zi.at[pl.ds(off, LANES), _ds0(n1)],
+                    outs_i[s], zi.at[pl.ds(roff, LANES), _ds0(n1)],
                     out_sems.at[jnp.int32(s), jnp.int32(1)]),
             ]
 
@@ -252,7 +267,8 @@ def _phase_a_kernel(n1, n2, sign, real_input, *refs):
         blr, bli = _iota_trig(n1, LANES, n, n, sign)
         mats1, mats2, tr, ti = _gen_dft_tables(n1, r1, r2, sign, 'bf16')
 
-        def step(s, t):
+        def step(s, tt):
+            _, t = _split(tt)
             si = None if xi is None else bufs_i[s][:]
             cr, ci = _dft_slab(bufs_r[s][:], si, n1, r1, r2,
                                mats1, mats2, tr, ti)
@@ -268,18 +284,18 @@ def _phase_a_kernel(n1, n2, sign, real_input, *refs):
             yi = cr * twi + ci * twr
             # transpose to (L, n1) so the Z write is contiguous; wait for
             # the previous write from this buffer set to drain first
-            @pl.when(t >= 2)
+            @pl.when(tt >= 2)
             def _():
-                for cp in out_dma(s, t - 2):
+                for cp in out_dma(s, tt - 2):
                     cp.wait()
 
             outs_r[s][:] = yr.T
             outs_i[s][:] = yi.T
-            for cp in out_dma(s, t):
+            for cp in out_dma(s, tt):
                 cp.start()
 
         _pipe2(
-            n_tiles,
+            batch * n_tiles,
             lambda s, t: [cp.start() for cp in in_dma(s, t)],
             lambda s, t: [cp.wait() for cp in in_dma(s, t)],
             step,
@@ -301,9 +317,9 @@ def _phase_a_kernel(n1, n2, sign, real_input, *refs):
     )
 
 
-def _phase_b_kernel(n1, n2, sign, scale, real_output, *refs):
-    """Row DFT: Z (n2, n1) planar HBM -> X (n2, n1) planar HBM (slab
-    layout == output layout, no transpose)."""
+def _phase_b_kernel(n1, n2, batch, sign, scale, real_output, *refs):
+    """Row DFT: Z (batch*n2, n1) planar HBM -> X (batch*n2, n1) planar HBM
+    (slab layout == output layout, no transpose)."""
     if real_output:
         (zr, zi, xor_) = refs
         xoi = None
@@ -320,37 +336,47 @@ def _phase_b_kernel(n1, n2, sign, scale, real_output, *refs):
         outs_r = (outs_r0, outs_r1)
         outs_i = (outs_i0, outs_i1)
 
-        def in_dma(s, t):
+        def _split(tt):
+            if batch == 1:
+                return jnp.int32(0), tt
+            nt = jnp.int32(n_tiles)
+            return tt // nt, jax.lax.rem(tt, nt)
+
+        def in_dma(s, tt):
+            b, t = _split(tt)
+            roff = pl.multiple_of(b * jnp.int32(n2), n2)
             off = pl.multiple_of(t * jnp.int32(LANES), LANES)
             return [
                 pltpu.make_async_copy(
-                    zr.at[_ds0(n2), pl.ds(off, LANES)], bufs_r[s],
+                    zr.at[pl.ds(roff, n2), pl.ds(off, LANES)], bufs_r[s],
                     in_sems.at[jnp.int32(s), jnp.int32(0)]),
                 pltpu.make_async_copy(
-                    zi.at[_ds0(n2), pl.ds(off, LANES)], bufs_i[s],
+                    zi.at[pl.ds(roff, n2), pl.ds(off, LANES)], bufs_i[s],
                     in_sems.at[jnp.int32(s), jnp.int32(1)]),
             ]
 
-        def out_dma(s, t):
+        def out_dma(s, tt):
+            b, t = _split(tt)
+            roff = pl.multiple_of(b * jnp.int32(n2), n2)
             off = pl.multiple_of(t * jnp.int32(LANES), LANES)
             cps = [pltpu.make_async_copy(
-                outs_r[s], xor_.at[_ds0(n2), pl.ds(off, LANES)],
+                outs_r[s], xor_.at[pl.ds(roff, n2), pl.ds(off, LANES)],
                 out_sems.at[jnp.int32(s), jnp.int32(0)])]
             if xoi is not None:
                 cps.append(pltpu.make_async_copy(
-                    outs_i[s], xoi.at[_ds0(n2), pl.ds(off, LANES)],
+                    outs_i[s], xoi.at[pl.ds(roff, n2), pl.ds(off, LANES)],
                     out_sems.at[jnp.int32(s), jnp.int32(1)]))
             return cps
 
         mats1, mats2, tr, ti = _gen_dft_tables(n2, r1, r2, sign, 'bf16')
 
-        def step(s, t):
+        def step(s, tt):
             cr, ci = _dft_slab(bufs_r[s][:], bufs_i[s][:], n2, r1, r2,
                                mats1, mats2, tr, ti)
 
-            @pl.when(t >= 2)
+            @pl.when(tt >= 2)
             def _():
-                for cp in out_dma(s, t - 2):
+                for cp in out_dma(s, tt - 2):
                     cp.wait()
 
             if scale != 1.0:
@@ -362,11 +388,11 @@ def _phase_b_kernel(n1, n2, sign, scale, real_output, *refs):
                 outs_r[s][:] = cr
                 if xoi is not None:
                     outs_i[s][:] = ci
-            for cp in out_dma(s, t):
+            for cp in out_dma(s, tt):
                 cp.start()
 
         _pipe2(
-            n_tiles,
+            batch * n_tiles,
             lambda s, t: [cp.start() for cp in in_dma(s, t)],
             lambda s, t: [cp.wait() for cp in in_dma(s, t)],
             step,
@@ -406,29 +432,33 @@ def fourstep_stream_p(
     inverse: bool,
     real_output: bool = False,
 ):
-    """n-point planar FFT of a flat (n,) pair via two streaming passes.
+    """n-point planar FFT via two streaming passes; flat (n,) pair or a
+    batched (B, n) pair (each row transformed independently — the tile
+    loop runs B*n_tiles iterations, so batching costs no compile size).
 
-    xi may be None (real input, forward only). real_output drops the
-    imaginary output plane (irfft tail). Inverse applies 1/n scaling via
-    sign-flipped tables — no conjugation passes. All tables are generated
-    in-kernel (see _gen_dft_tables), so the kernels take only data refs.
+    xi may be None (real input). real_output drops the imaginary output
+    plane (irfft tail). Inverse applies 1/n scaling via sign-flipped
+    tables — no conjugation passes. All tables are generated in-kernel
+    (see _gen_dft_tables), so the kernels take only data refs.
     """
     n = n1 * n2
+    batch = 1 if xr.ndim == 1 else xr.shape[0]
+    out_lead = xr.shape[:-1]
     sign = 1 if inverse else -1
-    anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
     interp = _interpret()
 
-    xr2 = xr.reshape(n1, n2)
-    ins_a = (xr2,) if xi is None else (xr2, xi.reshape(n1, n2))
+    xr2 = xr.reshape(batch * n1, n2)
+    ins_a = (xr2,) if xi is None else (xr2, xi.reshape(batch * n1, n2))
     kernel_a = functools.partial(
-        _phase_a_kernel, n1, n2, sign, xi is None)
+        _phase_a_kernel, n1, n2, batch, sign, xi is None)
     zr, zi = pl.pallas_call(
         kernel_a,
         in_specs=[anyspec] * len(ins_a),
         out_specs=(anyspec, anyspec),
         out_shape=(
-            jax.ShapeDtypeStruct((n2, n1), jnp.float32),
-            jax.ShapeDtypeStruct((n2, n1), jnp.float32),
+            jax.ShapeDtypeStruct((batch * n2, n1), jnp.float32),
+            jax.ShapeDtypeStruct((batch * n2, n1), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=_vmem_limit(n1)
@@ -438,11 +468,11 @@ def fourstep_stream_p(
 
     scale = (1.0 / n) if inverse else 1.0
     kernel_b = functools.partial(
-        _phase_b_kernel, n1, n2, sign, scale, real_output)
-    out_shapes = (jax.ShapeDtypeStruct((n2, n1), jnp.float32),)
+        _phase_b_kernel, n1, n2, batch, sign, scale, real_output)
+    out_shapes = (jax.ShapeDtypeStruct((batch * n2, n1), jnp.float32),)
     out_specs = (anyspec,)
     if not real_output:
-        out_shapes += (jax.ShapeDtypeStruct((n2, n1), jnp.float32),)
+        out_shapes += (jax.ShapeDtypeStruct((batch * n2, n1), jnp.float32),)
         out_specs += (anyspec,)
     outs = pl.pallas_call(
         kernel_b,
@@ -454,6 +484,7 @@ def fourstep_stream_p(
         ),
         interpret=interp,
     )(zr, zi)
+    oshape = out_lead + (n,)
     if real_output:
-        return outs[0].reshape(n), None
-    return outs[0].reshape(n), outs[1].reshape(n)
+        return outs[0].reshape(oshape), None
+    return outs[0].reshape(oshape), outs[1].reshape(oshape)

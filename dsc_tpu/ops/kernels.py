@@ -127,6 +127,14 @@ def clip(x, lo, hi):
         y = jnp.where(jnp.real(x) < jnp.real(lo_c), lo_c, x)
         y = jnp.where(jnp.real(y) > jnp.real(hi_c), hi_c, y)
         return y
+    from . import pallas_map
+
+    if pallas_map.eligible(
+        (x.shape, lo.shape, hi.shape), (x.dtype, lo.dtype, hi.dtype)
+    ):
+        return pallas_map.stream_map(
+            lambda v, lo_s, hi_s: jnp.clip(v, lo_s, hi_s), x, lo, hi
+        )
     return jnp.clip(x, lo, hi)
 
 

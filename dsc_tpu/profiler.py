@@ -36,6 +36,8 @@ def _serve_traces(file_path: str, port: int = 9001) -> None:
     directory = os.path.dirname(abs_path) or '.'
     filename = os.path.basename(abs_path)
 
+    served = {'trace': False}
+
     class _Handler(http.server.SimpleHTTPRequestHandler):
         def __init__(self, *args, **kwargs):
             super().__init__(*args, directory=directory, **kwargs)
@@ -43,6 +45,11 @@ def _serve_traces(file_path: str, port: int = 9001) -> None:
         def end_headers(self):
             self.send_header('Access-Control-Allow-Origin', '*')
             super().end_headers()
+
+        def do_GET(self):
+            super().do_GET()
+            if self.path.lstrip('/') == filename:
+                served['trace'] = True
 
         def log_message(self, *args):
             pass
@@ -52,10 +59,11 @@ def _serve_traces(file_path: str, port: int = 9001) -> None:
             f'https://ui.perfetto.dev/#!/?url=http://127.0.0.1:{port}/{filename}'
         )
         print(f'Open URL in browser: {url}')
-        # Serve until Perfetto fetches the file (favicon + file request)
-        while True:
+        # Serve until the trace file itself has been fetched: the browser
+        # may ask for favicon / CORS preflight first, so a single
+        # handle_request() would hand Perfetto a connection refused
+        while not served['trace']:
             httpd.handle_request()
-            break
 
 
 def stop_recording(file: Optional[str] = None, serve: Optional[bool] = None) -> None:

@@ -33,6 +33,8 @@ import numpy as np
 
 from . import interop, tracing
 from .context import _get_ctx
+from .planar import Planar
+from . import planar as planar_ops
 from .dtype import (
     DTYPE_TO_NP,
     Dtype,
@@ -118,6 +120,18 @@ class Tensor:
         return t
 
     @classmethod
+    def _from_planar(cls, pp: Planar) -> 'Tensor':
+        """Tensor over planar complex storage (planar.py). The public dtype
+        is C32; materialization to dense complex64 is lazy (``.jax``)."""
+        t = cls.__new__(cls)
+        t._buf = _Buffer(pp)
+        t._shape = pp.shape
+        t._dtype = np_to_dtype(pp.dtype)
+        t._cache_ver = -1
+        t._cache_arr = None
+        return t
+
+    @classmethod
     def _view_of(cls, base: 'Tensor', shape: Tuple[int, ...]) -> 'Tensor':
         """Buffer-sharing view (reference dsc_view/dsc_reshape semantics)."""
         t = cls.__new__(cls)
@@ -132,20 +146,33 @@ class Tensor:
 
     @property
     def jax(self) -> jax.Array:
-        """The underlying device array, reshaped to this view's shape."""
+        """The underlying device array, reshaped to this view's shape.
+        Planar storage materializes to dense complex here (cached on the
+        Planar object) — the fallback for every op without a planar fast
+        path."""
         buf = self._buf
-        if self._shape == tuple(buf.arr.shape):
-            return buf.arr
+        arr = buf.arr
+        if isinstance(arr, Planar):
+            arr = arr.materialize()
+        if self._shape == tuple(arr.shape):
+            return arr
         if self._cache_ver != buf.version:
-            self._cache_arr = buf.arr.reshape(self._shape)
+            self._cache_arr = arr.reshape(self._shape)
             self._cache_ver = buf.version
         return self._cache_arr
+
+    @property
+    def _planar(self) -> Optional[Planar]:
+        arr = self._buf.arr
+        return arr if isinstance(arr, Planar) else None
 
     def _write_through(self, arr: jax.Array) -> None:
         """Replace this view's contents, propagating to the shared buffer so
         every other view observes the write (reference shared-buffer
-        mutation)."""
+        mutation). A write into planar storage densifies it."""
         buf = self._buf
+        # (Planar.shape is the logical shape, so this also densifies
+        # planar storage at the right shape.)
         buf.arr = arr.reshape(buf.arr.shape)
         buf.version += 1
 
@@ -184,6 +211,11 @@ class Tensor:
         interop.py). Unlike the reference's raw-pointer view
         (tensor.py:305-323) there is no lifetime hazard: jax.Array keeps the
         storage alive."""
+        pp = self._planar
+        if pp is not None:
+            # planar download: two float-plane transfers + host combine —
+            # never materializes complex on device
+            return pp.to_numpy().reshape(self._shape)
         return interop.get(self.jax)
 
     def __bytes__(self) -> bytes:
@@ -209,8 +241,10 @@ class Tensor:
             res = self.jax[key]
             if tr:
                 tr.result = res
-        if res.ndim == 0:
-            return _to_scalar(res, self._dtype)
+        if res.ndim == 0 or res.size == 1:
+            # the reference unwraps ANY 1-element result to a Python scalar
+            # (python/dsc/tensor.py:91-103): x[3:4] is a scalar, not a Tensor
+            return _to_scalar(res.reshape(()), self._dtype)
         return Tensor._from_jax(res)
 
     def __setitem__(self, key, value):
@@ -431,7 +465,49 @@ def _finish(res: jax.Array, out: Optional[Tensor]) -> Tensor:
 # ---------------------------------------------------------------------------
 
 
+def _try_planar_binary(xa, xb, name: str) -> Optional[Tensor]:
+    """Planar fast path: keeps complex data as float planes across op
+    boundaries (planar.py). Returns None when no fast path applies."""
+    if name == 'pow':
+        return None
+    pa = xa._planar if isinstance(xa, Tensor) else None
+    pb = xb._planar if isinstance(xb, Tensor) else None
+    if pa is None and pb is None:
+        return None
+    args = tracing.tensor_args(
+        xa=xa if isinstance(xa, Tensor) else None,
+        xb=xb if isinstance(xb, Tensor) else None,
+    )
+    if pa is not None and pb is not None:
+        with tracing.trace_op(name, 'op;binary', args) as tr:
+            res = planar_ops.binary_pp(name, pa, pb)
+            if res is None:
+                return None
+            if tr:
+                tr.result = (res.re, res.im)
+        return Tensor._from_planar(res)
+    # one side is a Python/NumPy scalar
+    p, s, reverse = (pa, xb, False) if pa is not None else (pb, xa, True)
+    if isinstance(s, (bool, int, float, np.floating, np.integer)):
+        sc = complex(float(s), 0.0)
+    elif isinstance(s, complex):
+        sc = s
+    elif isinstance(s, np.complexfloating):
+        sc = complex(s)
+    else:
+        return None
+    with tracing.trace_op(name, 'op;binary', args) as tr:
+        res = planar_ops.binary_ps(name, p, sc, reverse)
+        if tr:
+            tr.result = (res.re, res.im)
+    return Tensor._from_planar(res)
+
+
 def _binary_op(xa, xb, out, name: str) -> Tensor:
+    if out is None:
+        fast = _try_planar_binary(xa, xb, name)
+        if fast is not None:
+            return fast
     xa, xb = _wrap_operands(xa, xb)
     if not _can_broadcast(xa.shape, xb.shape):
         raise RuntimeError(f'cannot broadcast {xa.shape} and {xb.shape}')
@@ -513,10 +589,24 @@ def sqrt(x: Tensor, out: Optional[Tensor] = None) -> Tensor:
 
 
 def absolute(x: Tensor, out: Optional[Tensor] = None) -> Tensor:
+    pp = x._planar if isinstance(x, Tensor) else None
+    if pp is not None and out is None:
+        with tracing.trace_op('abs', 'op;unary', tracing.tensor_args(x=x)) as tr:
+            res = planar_ops.abs_planes(pp.re, pp.im, ne=pp.ne, shape=x.shape)
+            if tr:
+                tr.result = res
+        return Tensor._from_jax(res)
     return _unary_op(x, out, 'abs', K.absolute)
 
 
 def angle(x: Tensor) -> Tensor:
+    pp = x._planar if isinstance(x, Tensor) else None
+    if pp is not None:
+        with tracing.trace_op('angle', 'op;unary', tracing.tensor_args(x=x)) as tr:
+            res = planar_ops.angle_planes(pp.re, pp.im, ne=pp.ne, shape=x.shape)
+            if tr:
+                tr.result = res
+        return Tensor._from_jax(res)
     return _unary_op(x, None, 'angle', K.angle)
 
 
@@ -524,6 +614,16 @@ def conj(x: Tensor) -> Tensor:
     # NOP view on real input (reference dsc.cpp:1543-1560)
     if x.dtype.is_real:
         return Tensor._view_of(x, x.shape)
+    pp = x._planar if isinstance(x, Tensor) else None
+    if pp is not None:
+        # planar conj touches only the imaginary plane; Hermitian validity
+        # is preserved (conj of a Hermitian spectrum is Hermitian)
+        with tracing.trace_op('conj', 'op;unary', tracing.tensor_args(x=x)) as tr:
+            res = Planar(pp.re, planar_ops.neg_im(pp.im), x.shape,
+                         hermitian=pp.hermitian)
+            if tr:
+                tr.result = res.im
+        return Tensor._from_planar(res)
     return _unary_op(x, None, 'conj', K.conj)
 
 
@@ -531,10 +631,24 @@ def real(x: Tensor) -> Tensor:
     # NOP view on real input (reference dsc.cpp:1562-1594)
     if x.dtype.is_real:
         return Tensor._view_of(x, x.shape)
+    pp = x._planar if isinstance(x, Tensor) else None
+    if pp is not None:
+        with tracing.trace_op('real', 'op;unary', tracing.tensor_args(x=x)) as tr:
+            res = planar_ops.prefix_plane(pp.re, ne=pp.ne, shape=x.shape)
+            if tr:
+                tr.result = res
+        return Tensor._from_jax(res)
     return _unary_op(x, None, 'real', K.real_c)
 
 
 def imag(x: Tensor) -> Tensor:
+    pp = x._planar if isinstance(x, Tensor) else None
+    if pp is not None:
+        with tracing.trace_op('imag', 'op;unary', tracing.tensor_args(x=x)) as tr:
+            res = planar_ops.prefix_plane(pp.im, ne=pp.ne, shape=x.shape)
+            if tr:
+                tr.result = res
+        return Tensor._from_jax(res)
     if x.dtype.is_real:
         # np.imag(real) == zeros (reference dsc.cpp:1596-1622)
         with tracing.trace_op('imag', 'op;unary', tracing.tensor_args(x=x)) as tr:

@@ -11,6 +11,12 @@ import dsc_tpu as dsc
 from conftest import DSC_DTYPES, DTYPES, all_close, random_nd
 
 
+def _as_np(res):
+    """dsc get results: Tensor -> ndarray; 1-element results arrive as
+    Python scalars (reference unwrap, python/dsc/tensor.py:91-103)."""
+    return res.numpy() if isinstance(res, dsc.Tensor) else np.atleast_1d(res)
+
+
 def _validate_slice(sl: slice, max_dim: int) -> bool:
     san_start = sl.start if sl.start >= 0 else sl.start + max_dim
     san_stop = sl.stop if sl.stop >= 0 else sl.stop + max_dim
@@ -51,7 +57,7 @@ class TestIndexing:
                     s = slice(start, stop, step)
                     if not _validate_slice(s, 10):
                         continue
-                    assert all_close(x_1d_dsc[s].numpy(), x_1d[s])
+                    assert all_close(_as_np(x_1d_dsc[s]), x_1d[s])
 
         # open-ended slices
         assert all_close(x_1d_dsc[:].numpy(), x_1d[:])
@@ -70,7 +76,7 @@ class TestIndexing:
                     if not _validate_slice(s, 5):
                         continue
                     key = (slice(None), s)
-                    assert all_close(x_2d_dsc[key].numpy(), x_2d[key])
+                    assert all_close(_as_np(x_2d_dsc[key]), x_2d[key])
 
         # mixed int + slice collapses the int dim (reference dsc.cpp:898-948)
         for extra_dim in range(-5, 5):
@@ -81,11 +87,22 @@ class TestIndexing:
                         if not _validate_slice(s, 5):
                             continue
                         assert all_close(
-                            x_2d_dsc[(extra_dim, s)].numpy(), x_2d[(extra_dim, s)]
+                            _as_np(x_2d_dsc[(extra_dim, s)]), x_2d[(extra_dim, s)]
                         )
                         assert all_close(
-                            x_2d_dsc[(s, extra_dim)].numpy(), x_2d[(s, extra_dim)]
+                            _as_np(x_2d_dsc[(s, extra_dim)]), x_2d[(s, extra_dim)]
                         )
+
+    def test_one_element_unwrap(self):
+        # x[3:4] is a Python scalar, not a Tensor (reference
+        # python/dsc/tensor.py:91-103); 0-d results too
+        x = dsc.from_numpy(np.arange(10, dtype=np.float32))
+        assert isinstance(x[3], float) and x[3] == 3.0
+        assert isinstance(x[3:4], float) and x[3:4] == 3.0
+        c = dsc.from_numpy((np.arange(4) + 1j).astype(np.complex64))
+        assert isinstance(c[1:2], complex) and c[1:2] == 1 + 1j
+        m = dsc.from_numpy(np.arange(4, dtype=np.float32).reshape(2, 2))
+        assert isinstance(m[1:2, 0:1], float) and m[1:2, 0:1] == 2.0
 
     def test_set_idx(self):
         for n_dim in range(1, 5):

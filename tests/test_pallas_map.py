@@ -1,0 +1,86 @@
+"""Streaming elementwise kernel (ops/pallas_map.py) in interpret mode.
+
+Chunk sizes are monkeypatched small so every code path (even/odd chunk
+counts, remainder tile, scalar SMEM operands, multi-output) runs on tiny
+arrays; the same code runs compiled on TPU via the dsc op layer."""
+
+import numpy as np
+import pytest
+
+import dsc_tpu.ops.pallas_map as pm
+
+from conftest import all_close
+
+
+@pytest.fixture(autouse=True)
+def small_chunks(monkeypatch):
+    monkeypatch.setattr(pm, 'MODE', 'on')
+    monkeypatch.setattr(pm, 'CHUNK_ROWS', 64)
+    monkeypatch.setattr(pm, 'MIN_ELEMS', 1024)
+    yield
+
+
+def _rand(ne):
+    return np.random.default_rng(ne).standard_normal(ne).astype(np.float32)
+
+
+@pytest.mark.parametrize(
+    'ne',
+    [
+        64 * 128 * 2,        # even chunk count, no remainder
+        64 * 128 * 3,        # odd chunk count
+        64 * 128 * 2 + 1024, # remainder tile
+        64 * 128 * 5 + 2048, # odd + remainder
+        1024,                # single (remainder-only) tile
+    ],
+)
+def test_stream_map_shapes(ne):
+    import jax.numpy as jnp
+
+    a, b = _rand(ne), _rand(ne + 1)[1:]
+    assert pm.eligible((a.shape, b.shape), (a.dtype, b.dtype))
+    got = np.asarray(pm.stream_map(jnp.add, a, b))
+    assert all_close(got, a + b)
+
+
+def test_stream_map_scalar_operand():
+    import jax.numpy as jnp
+
+    ne = 64 * 128 * 3 + 1024
+    a = _rand(ne)
+    s = np.float32(2.5)
+    assert pm.eligible((a.shape, ()), (a.dtype, np.float32))
+    got = np.asarray(pm.stream_map(jnp.multiply, a, s))
+    assert all_close(got, a * np.float32(2.5))
+    # reversed orientation (scalar first)
+    got = np.asarray(pm.stream_map(jnp.subtract, s, a))
+    assert all_close(got, np.float32(2.5) - a)
+
+
+def test_stream_map_multi_output():
+    ne = 64 * 128 * 2 + 2048
+    ar, ai, br, bi = (_rand(ne + k)[k:] for k in range(4))
+
+    def cmul(xr, xi, yr, yi):
+        return xr * yr - xi * yi, xr * yi + xi * yr
+
+    gr, gi = pm.stream_map_multi(
+        cmul, (ar, ai, br, bi), (np.float32, np.float32)
+    )
+    want = (ar + 1j * ai) * (br + 1j * bi)
+    assert all_close(np.asarray(gr), want.real)
+    assert all_close(np.asarray(gi), want.imag)
+
+
+def test_eligibility_rules():
+    big = (pm.MIN_ELEMS,)
+    f32 = np.float32
+    assert pm.eligible((big, big), (f32, f32))
+    assert pm.eligible((big, (1,)), (f32, f32))          # scalar operand
+    assert pm.eligible(((1,), big), (f32, f32))
+    assert not pm.eligible(((1,), (1,)), (f32, f32))     # no streamed side
+    assert not pm.eligible((big, (512,)), (f32, f32))    # shape mismatch
+    assert not pm.eligible(((1000,), (1000,)), (f32, f32))  # below minimum
+    assert not pm.eligible((big, big), (np.float64, np.float64))
+    odd = (pm.MIN_ELEMS + 100,)
+    assert not pm.eligible((odd, odd), (f32, f32))       # not /1024
