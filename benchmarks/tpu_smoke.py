@@ -65,6 +65,27 @@ def main() -> int:
     ok &= check('planar filter chain (rfft*rfft->irfft)',
                 np.abs(conv.numpy() - refc).max() / np.abs(refc).max(), 1e-4)
 
+    # non-hermitian irfft: reconstruct kernel + inverse (complex-scalar
+    # multiply drops the hermitian flag -> reconstruction fallback)
+    rot = spec * (0.5 + 0.5j)
+    assert rot._planar is not None and not rot._planar.hermitian
+    back2 = dsc.irfft(rot)
+    ref2 = np.fft.irfft(ref * (0.5 + 0.5j), n)
+    ok &= check('irfft via reconstruct kernel (non-hermitian)',
+                np.abs(back2.numpy() - ref2).max()
+                / max(np.abs(ref2).max(), 1e-6), 1e-4)
+
+    # batched public planar rfft/irfft
+    xb2 = rng.standard_normal((2, 2**18)).astype(np.float32)
+    sb = dsc.rfft(dsc.from_numpy(xb2))
+    assert sb._planar is not None and sb._planar.re.shape == (2, 2**18)
+    refsb = np.fft.rfft(xb2, axis=-1)
+    ok &= check('batched public rfft (2 x 2^18)',
+                np.abs(sb.numpy() - refsb).max() / np.abs(refsb).max(), 1e-4)
+    bb = dsc.irfft(sb)
+    ok &= check('batched public irfft roundtrip',
+                np.abs(bb.numpy() - xb2).max(), 1e-4)
+
     # batched streaming kernel
     from dsc_tpu.fourier import pallas_stream as ps
 

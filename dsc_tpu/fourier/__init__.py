@@ -77,19 +77,44 @@ def _exec_input(x: Tensor, cdt) -> 'object':
 
 
 def _stream_1d(x: Tensor, ax: int, full_n: int):
-    """(n1, n2) when the streaming planar path serves this call: an
-    effectively 1-D f32/c32 transform whose size the two-pass kernel
-    supports (config.use_stream). None otherwise."""
-    if x.ne != x.shape[ax]:  # other dims must all be 1
+    """(n1, n2) when the streaming planar path serves this call: a
+    last-axis (or effectively 1-D) f32/c32 transform — single vector or a
+    batch of rows — whose size the two-pass kernel supports
+    (config.use_stream). None otherwise."""
+    batch = x.ne // x.shape[ax]
+    if batch != 1 and ax != x.n_dim - 1:
+        # a real batch over a non-last axis needs a transpose; dense path
         return None
     spec = plan.build_spec(full_n)
-    if not config.use_stream(np.complex64, 1, spec):
+    if not config.use_stream(np.complex64, batch, spec):
         return None
     return spec[1], spec[2]
 
 
 def _planar_out_shape(x: Tensor, ax: int, out_n: int):
     return tuple(out_n if i == ax else d for i, d in enumerate(x.shape))
+
+
+def _planar_input(x: Tensor, ax: int):
+    """Input array for the planar stream wrappers: last-axis batched rows,
+    or a flat vector when the transform axis isn't last (only reachable
+    when every other dim is 1)."""
+    xj = x.jax
+    if ax != x.n_dim - 1:
+        xj = xj.reshape(-1)
+    return xj
+
+
+def _planar_fft_result(yr, yi, x: Tensor, ax: int, out_n: int,
+                       hermitian: bool) -> Tensor:
+    """Wrap planar FFT output planes; the canonical Planar shape follows
+    the planes, re-viewed to the ND output shape when needed."""
+    pp = Planar(yr, yi, tuple(yr.shape[:-1]) + (out_n,), hermitian=hermitian)
+    want = _planar_out_shape(x, ax, out_n)
+    t = Tensor._from_planar(pp)
+    if t._shape != want:
+        t = Tensor._view_of(t, want)
+    return t
 
 
 def _fft_like(x: Tensor, out, n: int, axis: int, inverse: bool) -> Tensor:
@@ -106,19 +131,22 @@ def _fft_like(x: Tensor, out, n: int, axis: int, inverse: bool) -> Tensor:
             n1, n2 = nn12
             pp = x._planar
             with tracing.trace_op(name, 'op;fft', tracing.tensor_args(x=x)) as tr:
-                if pp is not None and pp.physical_ne == pp.ne:
+                if (pp is not None and pp.physical_ne == pp.ne
+                        and x.shape == pp.shape):
                     yr, yi = core.fft_stream_planar(
                         pp.re, pp.im, n1, n2, inverse
                     )
                 elif x.dtype == Dtype.F32:
-                    yr, yi = core.fft_stream_planar(x.jax, None, n1, n2, inverse)
+                    yr, yi = core.fft_stream_planar(
+                        _planar_input(x, ax), None, n1, n2, inverse
+                    )
                 else:
-                    yr, yi = core.fft_stream_from_dense(x.jax, n1, n2, inverse)
+                    yr, yi = core.fft_stream_from_dense(
+                        _planar_input(x, ax), n1, n2, inverse
+                    )
                 if tr:
                     tr.result = (yr, yi)
-            return Tensor._from_planar(
-                Planar(yr, yi, _planar_out_shape(x, ax, nn))
-            )
+            return _planar_fft_result(yr, yi, x, ax, nn, hermitian=False)
 
     cdt = _work_cdtype(x.dtype)
     spec, tables = plan.get_plan(nn, 'complex', cdt)
@@ -148,13 +176,11 @@ def rfft(x: Tensor, out: Optional[Tensor] = None, n: int = -1, axis: int = -1) -
         if nn12 is not None:
             n1, n2 = nn12
             with tracing.trace_op('rfft', 'op;fft', tracing.tensor_args(x=x)) as tr:
-                yr, yi = core.rfft_stream_full(x.jax, n1, n2)
+                yr, yi = core.rfft_stream_full(_planar_input(x, ax), n1, n2)
                 if tr:
                     tr.result = (yr, yi)
-            return Tensor._from_planar(Planar(
-                yr, yi, _planar_out_shape(x, ax, full_n // 2 + 1),
-                hermitian=True,
-            ))
+            return _planar_fft_result(yr, yi, x, ax, full_n // 2 + 1,
+                                      hermitian=True)
 
     cdt = _work_cdtype(x.dtype)
     spec, tables = plan.get_plan(full_n, 'real', cdt)
@@ -185,6 +211,7 @@ def irfft(x: Tensor, out: Optional[Tensor] = None, n: int = -1, axis: int = -1) 
         and pp is not None
         and pp.hermitian
         and pp.full_n == full_n
+        and x.shape == pp.shape
     ):
         nn12 = _stream_1d(x, ax, full_n)
         if nn12 is not None:

@@ -283,54 +283,66 @@ def _pad_crop(x: jax.Array, target: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def _rows(x, n):
+    """(..., m) -> (B, n) rows (pad/crop the last axis), plus the lead
+    shape to restore."""
+    lead = x.shape[:-1]
+    return _pad_crop(x.reshape(-1, x.shape[-1]), n), lead
+
+
 @partial(jax.jit, static_argnames=('n1', 'n2'))
 def rfft_stream_full(x, n1, n2):
-    """(m,) real (any m; pad/crop to n = n1*n2) -> full-spectrum planes
-    (n,) each, natural order. The logical rfft output is the flat prefix
-    of length n//2+1; the upper half is the exact conjugate mirror
-    (hermitian-full layout, planar.py)."""
+    """(..., m) real (pad/crop to n = n1*n2) -> full-spectrum planes
+    (..., n), natural order per row. The logical rfft output is the
+    last-axis prefix of length n//2+1; the upper half is the exact
+    conjugate mirror (hermitian-full layout, planar.py)."""
     from . import pallas_stream
 
+    xb, lead = _rows(x, n1 * n2)
+    yr, yi = pallas_stream.fourstep_stream_p(xb, None, n1, n2, inverse=False)
     n = n1 * n2
-    x = _pad_crop(x.reshape(1, -1), n)[0]
-    return pallas_stream.fourstep_stream_p(x, None, n1, n2, inverse=False)
+    return yr.reshape(*lead, n), yi.reshape(*lead, n)
 
 
 @partial(jax.jit, static_argnames=('n1', 'n2'))
 def irfft_stream_from_full(fr, fi, n1, n2):
-    """Full-spectrum (n,) planes -> (n,) real inverse. Caller guarantees
-    the planes hold a valid Hermitian spectrum (hermitian flag)."""
+    """Full-spectrum (..., n) planes -> (..., n) real inverse. Caller
+    guarantees the planes hold valid Hermitian spectra (hermitian flag)."""
     from . import pallas_stream
 
     n = n1 * n2
+    lead = fr.shape[:-1]
     yr, _ = pallas_stream.fourstep_stream_p(
-        fr.reshape(n), fi.reshape(n), n1, n2, inverse=True, real_output=True
+        fr.reshape(-1, n), fi.reshape(-1, n), n1, n2,
+        inverse=True, real_output=True,
     )
-    return yr
+    return yr.reshape(*lead, n)
+
+
+def _fft_stream_planar(xr, xi, n1, n2, inverse):
+    from . import pallas_stream
+
+    n = n1 * n2
+    xb, lead = _rows(xr, n)
+    xib = None
+    if xi is not None:
+        xib, _ = _rows(xi, n)
+    yr, yi = pallas_stream.fourstep_stream_p(xb, xib, n1, n2, inverse=inverse)
+    return yr.reshape(*lead, n), yi.reshape(*lead, n)
 
 
 @partial(jax.jit, static_argnames=('n1', 'n2', 'inverse'))
 def fft_stream_planar(xr, xi, n1, n2, inverse):
-    """(m,) planes (xi may be None for real input; pad/crop to n) ->
-    (n,) planes, forward or 1/n-scaled inverse."""
-    from . import pallas_stream
-
-    n = n1 * n2
-    xr = _pad_crop(xr.reshape(1, -1), n)[0]
-    if xi is not None:
-        xi = _pad_crop(xi.reshape(1, -1), n)[0]
-    return pallas_stream.fourstep_stream_p(xr, xi, n1, n2, inverse=inverse)
+    """(..., m) planes (xi may be None for real input; pad/crop to n) ->
+    (..., n) planes, forward or 1/n-scaled inverse."""
+    return _fft_stream_planar(xr, xi, n1, n2, inverse)
 
 
 @partial(jax.jit, static_argnames=('n1', 'n2', 'inverse'))
 def fft_stream_from_dense(x, n1, n2, inverse):
-    """Dense complex input -> (n,) planes (one split pass, fused with
+    """Dense complex input -> (..., n) planes (one split pass, fused with
     pad/crop)."""
-    xr = _pad_crop(jnp.real(x).reshape(1, -1), n1 * n2)[0]
-    xi = _pad_crop(jnp.imag(x).reshape(1, -1), n1 * n2)[0]
-    from . import pallas_stream
-
-    return pallas_stream.fourstep_stream_p(xr, xi, n1, n2, inverse=inverse)
+    return _fft_stream_planar(jnp.real(x), jnp.imag(x), n1, n2, inverse)
 
 
 @partial(jax.jit, static_argnames=('spec', 'n', 'axis', 'inverse', 'cdtype'))

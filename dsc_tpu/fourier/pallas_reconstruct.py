@@ -48,16 +48,36 @@ def _exchange(m: int, dtype):
     return (i + j == m - 1).astype(dtype)
 
 
+def _split3(x):
+    """Exact 3-term bf16 split: h1 + h2 + h3 == x bit-for-bit (3 x 8
+    mantissa bits cover f32's 24; round-to-nearest remainders are exactly
+    representable)."""
+    h1 = x.astype(jnp.bfloat16)
+    r1 = x - h1.astype(jnp.float32)
+    h2 = r1.astype(jnp.bfloat16)
+    h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return h1, h2, h3
+
+
+def _perm_dot(j, x, right=False):
+    """EXACT permutation matmul j @ x (or x @ j): j is 0/1 (exact in
+    bf16), each term's products and single-nonzero sums are exact, so
+    three bf16 passes reconstruct x permuted bit-for-bit — at half the
+    MXU passes of Precision.HIGHEST (which splits both operands, 6)."""
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    jb = j.astype(jnp.bfloat16)
+    terms = _split3(x)
+    if right:
+        return sum(dot(h, jb) for h in terms)
+    return sum(dot(jb, h) for h in terms)
+
+
 def _flip2d(a):
     """Full reversal of a flattened (rows, 128) tile: J_r @ a @ J_c."""
     rows = a.shape[0]
-    jr = _exchange(rows, a.dtype)
-    jc = _exchange(LANES, a.dtype)
-    dot = functools.partial(
-        jnp.dot, preferred_element_type=a.dtype,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return dot(dot(jr, a), jc)
+    jr = _exchange(rows, jnp.float32)
+    jc = _exchange(LANES, jnp.float32)
+    return _perm_dot(jc, _perm_dot(jr, a), right=True)
 
 
 def _shift127(f7):
@@ -77,8 +97,12 @@ def _reconstruct_kernel(n, nh, c, xr, xi, fr, fi):
     rows = c // LANES
     big_rows = rows + 8  # c + 1024 elements
 
-    def body(buf_r, buf_i, out_r, out_i,
-             sem_ir, sem_ii, sem_or, sem_oi, sem_hr, sem_hi):
+    n_chunks = nh // c
+
+    def body(br0, br1, bi0, bi1, or0, or1, oi0, oi1,
+             in_sems, out_sems, sem_hr, sem_hi):
+        bufs_r, bufs_i = (br0, br1), (bi0, bi1)
+        outs_r, outs_i = (or0, or1), (oi0, oi1)
         # head: full[0 : nh] = x[0 : nh] — aligned HBM->HBM DMA, disjoint
         # from every tail window
         head_r = pltpu.make_async_copy(
@@ -90,61 +114,74 @@ def _reconstruct_kernel(n, nh, c, xr, xi, fr, fi):
         )
         head_i.start()
 
-        n_chunks = nh // c
-
-        def loop(m, carry):
+        def in_dma(s, m):
             # aligned superset window start; Mosaic's divisibility prover
             # needs the explicit multiple_of hint
             src = pl.multiple_of((nh - c) - m * c, 1024)
-            cp_r = pltpu.make_async_copy(
-                xr.at[pl.ds(src, c + 1024)], buf_r, sem_ir
-            )
-            cp_i = pltpu.make_async_copy(
-                xi.at[pl.ds(src, c + 1024)], buf_i, sem_ii
-            )
-            cp_r.start()
-            cp_i.start()
-            cp_r.wait()
-            cp_i.wait()
-            fbig_r = _flip2d(buf_r[:].reshape(big_rows, LANES))
-            fbig_i = _flip2d(buf_i[:].reshape(big_rows, LANES))
+            return [
+                pltpu.make_async_copy(
+                    xr.at[pl.ds(src, c + 1024)], bufs_r[s],
+                    in_sems.at[jnp.int32(s), jnp.int32(0)]),
+                pltpu.make_async_copy(
+                    xi.at[pl.ds(src, c + 1024)], bufs_i[s],
+                    in_sems.at[jnp.int32(s), jnp.int32(1)]),
+            ]
+
+        def out_dma(s, m):
+            dst = pl.multiple_of(nh + m * c, 1024)
+            return [
+                pltpu.make_async_copy(
+                    outs_r[s], fr.at[pl.ds(dst, c)],
+                    out_sems.at[jnp.int32(s), jnp.int32(0)]),
+                pltpu.make_async_copy(
+                    outs_i[s], fi.at[pl.ds(dst, c)],
+                    out_sems.at[jnp.int32(s), jnp.int32(1)]),
+            ]
+
+        def step(s, m):
+            fbig_r = _flip2d(bufs_r[s][:].reshape(big_rows, LANES))
+            fbig_i = _flip2d(bufs_i[s][:].reshape(big_rows, LANES))
             sr = _shift127(fbig_r[7:])
             si = _shift127(fbig_i[7:])
+
+            @pl.when(m >= 2)
+            def _():
+                for cp in out_dma(s, m - 2):
+                    cp.wait()
+
             # conjugate the tail; full[nh] itself (chunk 0, elem 0) should
             # stay unconjugated, but valid Hermitian input has imag==0
             # there, and a scalar-dependent mask would need an unsupported
             # broadcast — numpy-visible difference is O(imag(X[nh])/n)
-            out_r[:] = sr.reshape(c)
-            out_i[:] = -si.reshape(c)
-            dst = pl.multiple_of(nh + m * c, 1024)  # aligned dest window
-            wr_r = pltpu.make_async_copy(
-                out_r.at[pl.ds(0, c)], fr.at[pl.ds(dst, c)], sem_or
-            )
-            wr_i = pltpu.make_async_copy(
-                out_i.at[pl.ds(0, c)], fi.at[pl.ds(dst, c)], sem_oi
-            )
-            wr_r.start()
-            wr_i.start()
-            wr_r.wait()
-            wr_i.wait()
-            return carry
+            outs_r[s][:] = sr.reshape(c)
+            outs_i[s][:] = -si.reshape(c)
+            for cp in out_dma(s, m):
+                cp.start()
 
-        jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(n_chunks), loop, jnp.int32(0)
+        from .pallas_stream import _pipe2
+
+        _pipe2(
+            n_chunks,
+            lambda s, m: [cp.start() for cp in in_dma(s, m)],
+            lambda s, m: [cp.wait() for cp in in_dma(s, m)],
+            step,
+            lambda s, m: [cp.wait() for cp in out_dma(s, m)],
         )
         head_r.wait()
         head_i.wait()
 
     pl.run_scoped(
         body,
-        buf_r=pltpu.VMEM((CHUNK + 1024,), xr.dtype),
-        buf_i=pltpu.VMEM((CHUNK + 1024,), xi.dtype),
-        out_r=pltpu.VMEM((CHUNK,), xr.dtype),
-        out_i=pltpu.VMEM((CHUNK,), xi.dtype),
-        sem_ir=pltpu.SemaphoreType.DMA,
-        sem_ii=pltpu.SemaphoreType.DMA,
-        sem_or=pltpu.SemaphoreType.DMA,
-        sem_oi=pltpu.SemaphoreType.DMA,
+        br0=pltpu.VMEM((c + 1024,), xr.dtype),
+        br1=pltpu.VMEM((c + 1024,), xr.dtype),
+        bi0=pltpu.VMEM((c + 1024,), xi.dtype),
+        bi1=pltpu.VMEM((c + 1024,), xi.dtype),
+        or0=pltpu.VMEM((c,), xr.dtype),
+        or1=pltpu.VMEM((c,), xr.dtype),
+        oi0=pltpu.VMEM((c,), xi.dtype),
+        oi1=pltpu.VMEM((c,), xi.dtype),
+        in_sems=pltpu.SemaphoreType.DMA((2, 2)),
+        out_sems=pltpu.SemaphoreType.DMA((2, 2)),
         sem_hr=pltpu.SemaphoreType.DMA,
         sem_hi=pltpu.SemaphoreType.DMA,
     )
@@ -165,7 +202,7 @@ def reconstruct_spectrum_p(xr: jax.Array, xi: jax.Array, n: int):
     """
     b, _ = xr.shape
     nh = n // 2
-    if nh % CHUNK or nh // CHUNK < 1 or b != 1:
+    if nh % CHUNK or nh // CHUNK < 2 or (nh // CHUNK) % 2 or b != 1:
         tr = xr[:, 1:nh][:, ::-1]
         ti = -xi[:, 1:nh][:, ::-1]
         return (

@@ -9,9 +9,9 @@ filterFFT pipeline (rfft -> multiply -> irfft, reference README.md:110-137)
 never materialize complex64 on device.
 
 A ``Planar`` value is two same-shape float32 planes plus a LOGICAL shape.
-Physical storage may be larger than the logical value ("flat-prefix"
-semantics): the logical elements are the first ``ne`` entries of the
-flattened planes.
+Physical storage may be wider than the logical value along the LAST axis
+("prefix" semantics): the logical data is ``planes[..., :shape[-1]]``.
+Leading dims must match, so batched spectra work row-wise.
 
 The key layout is the **hermitian-full spectrum**: a large rfft keeps the
 entire n-point spectrum (natural order, flat (n,) planes) and exposes the
@@ -53,9 +53,12 @@ class Planar:
         hermitian: bool = False,
     ):
         assert re.shape == im.shape and re.dtype == im.dtype
+        shape = tuple(shape)
+        assert tuple(re.shape[:-1]) == shape[:-1], (re.shape, shape)
+        assert shape[-1] <= re.shape[-1], (re.shape, shape)
         self.re = re
         self.im = im
-        self.shape = tuple(shape)
+        self.shape = shape
         self.hermitian = hermitian
         self._dense: Optional[jax.Array] = None
 
@@ -82,9 +85,9 @@ class Planar:
 
     @property
     def full_n(self) -> int:
-        """For hermitian-full spectra: the transform length n (physical
-        flat plane size); logical ne is n//2 + 1."""
-        return self.physical_ne
+        """For hermitian-full spectra: the transform length n (last plane
+        dim); logical last dim is n//2 + 1."""
+        return int(self.re.shape[-1])
 
     # -- materialization ------------------------------------------------------
 
@@ -99,23 +102,25 @@ class Planar:
     def to_numpy(self) -> np.ndarray:
         """Host complex array — downloads the float planes (complex can't
         cross the TPU transfer boundary, interop.py) and combines on host."""
-        ne = self.ne
-        re = np.asarray(self.re).reshape(-1)[:ne]
-        im = np.asarray(self.im).reshape(-1)[:ne]
-        out = np.empty(ne, dtype=self.dtype)
+        m = self.shape[-1]
+        re = np.asarray(self.re)[..., :m]
+        im = np.asarray(self.im)[..., :m]
+        out = np.empty(self.shape, dtype=self.dtype)
         out.real = re
         out.imag = im
-        return out.reshape(self.shape)
+        return out
+
+
+def _prefix(p, shape):
+    m = shape[-1]
+    if m != p.shape[-1]:
+        p = p[..., :m]
+    return p.reshape(shape)
 
 
 @partial(jax.jit, static_argnames=('ne', 'shape'))
 def _materialize(re, im, *, ne, shape):
-    fr = re.reshape(-1)
-    fi = im.reshape(-1)
-    if ne != fr.shape[0]:
-        fr = fr[:ne]
-        fi = fi[:ne]
-    return jax.lax.complex(fr, fi).reshape(shape)
+    return jax.lax.complex(_prefix(re, shape), _prefix(im, shape))
 
 
 # ---------------------------------------------------------------------------
@@ -206,27 +211,16 @@ def neg_im(im):
 def prefix_plane(p, *, ne, shape):
     """One plane's logical prefix as a dense real array (XLA fuses the
     slice into the reshape/consumer)."""
-    f = p.reshape(-1)
-    if ne != f.shape[0]:
-        f = f[:ne]
-    return f.reshape(shape)
+    return _prefix(p, shape)
 
 
 @partial(jax.jit, static_argnames=('ne', 'shape'))
 def abs_planes(re, im, *, ne, shape):
-    fr = re.reshape(-1)
-    fi = im.reshape(-1)
-    if ne != fr.shape[0]:
-        fr = fr[:ne]
-        fi = fi[:ne]
-    return jnp.sqrt(fr * fr + fi * fi).reshape(shape)
+    fr = _prefix(re, shape)
+    fi = _prefix(im, shape)
+    return jnp.sqrt(fr * fr + fi * fi)
 
 
 @partial(jax.jit, static_argnames=('ne', 'shape'))
 def angle_planes(re, im, *, ne, shape):
-    fr = re.reshape(-1)
-    fi = im.reshape(-1)
-    if ne != fr.shape[0]:
-        fr = fr[:ne]
-        fi = fi[:ne]
-    return jnp.arctan2(fi, fr).reshape(shape)
+    return jnp.arctan2(_prefix(im, shape), _prefix(re, shape))

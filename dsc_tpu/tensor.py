@@ -479,13 +479,15 @@ def _try_planar_binary(xa, xb, name: str) -> Optional[Tensor]:
         xb=xb if isinstance(xb, Tensor) else None,
     )
     if pa is not None and pb is not None:
+        if xa.shape != xb.shape:
+            return None
         with tracing.trace_op(name, 'op;binary', args) as tr:
             res = planar_ops.binary_pp(name, pa, pb)
             if res is None:
                 return None
             if tr:
                 tr.result = (res.re, res.im)
-        return Tensor._from_planar(res)
+        return _planar_result(res, xa.shape)
     # one side is a Python/NumPy scalar
     p, s, reverse = (pa, xb, False) if pa is not None else (pb, xa, True)
     if isinstance(s, (bool, int, float, np.floating, np.integer)):
@@ -500,7 +502,17 @@ def _try_planar_binary(xa, xb, name: str) -> Optional[Tensor]:
         res = planar_ops.binary_ps(name, p, sc, reverse)
         if tr:
             tr.result = (res.re, res.im)
-    return Tensor._from_planar(res)
+    shape = xa.shape if isinstance(xa, Tensor) else xb.shape
+    return _planar_result(res, shape)
+
+
+def _planar_result(pp: Planar, view_shape) -> Tensor:
+    """Wrap a Planar result; re-view when the operand was a reshaped view
+    (Planar shapes are canonical)."""
+    t = Tensor._from_planar(pp)
+    if t._shape != tuple(view_shape):
+        return Tensor._view_of(t, tuple(view_shape))
+    return t
 
 
 def _binary_op(xa, xb, out, name: str) -> Tensor:
@@ -592,10 +604,11 @@ def absolute(x: Tensor, out: Optional[Tensor] = None) -> Tensor:
     pp = x._planar if isinstance(x, Tensor) else None
     if pp is not None and out is None:
         with tracing.trace_op('abs', 'op;unary', tracing.tensor_args(x=x)) as tr:
-            res = planar_ops.abs_planes(pp.re, pp.im, ne=pp.ne, shape=x.shape)
+            res = planar_ops.abs_planes(pp.re, pp.im, ne=pp.ne,
+                                        shape=pp.shape)
             if tr:
                 tr.result = res
-        return Tensor._from_jax(res)
+        return Tensor._from_jax(res.reshape(x.shape))
     return _unary_op(x, out, 'abs', K.absolute)
 
 
@@ -603,10 +616,11 @@ def angle(x: Tensor) -> Tensor:
     pp = x._planar if isinstance(x, Tensor) else None
     if pp is not None:
         with tracing.trace_op('angle', 'op;unary', tracing.tensor_args(x=x)) as tr:
-            res = planar_ops.angle_planes(pp.re, pp.im, ne=pp.ne, shape=x.shape)
+            res = planar_ops.angle_planes(pp.re, pp.im, ne=pp.ne,
+                                          shape=pp.shape)
             if tr:
                 tr.result = res
-        return Tensor._from_jax(res)
+        return Tensor._from_jax(res.reshape(x.shape))
     return _unary_op(x, None, 'angle', K.angle)
 
 
@@ -619,11 +633,11 @@ def conj(x: Tensor) -> Tensor:
         # planar conj touches only the imaginary plane; Hermitian validity
         # is preserved (conj of a Hermitian spectrum is Hermitian)
         with tracing.trace_op('conj', 'op;unary', tracing.tensor_args(x=x)) as tr:
-            res = Planar(pp.re, planar_ops.neg_im(pp.im), x.shape,
+            res = Planar(pp.re, planar_ops.neg_im(pp.im), pp.shape,
                          hermitian=pp.hermitian)
             if tr:
                 tr.result = res.im
-        return Tensor._from_planar(res)
+        return _planar_result(res, x.shape)
     return _unary_op(x, None, 'conj', K.conj)
 
 
@@ -634,10 +648,10 @@ def real(x: Tensor) -> Tensor:
     pp = x._planar if isinstance(x, Tensor) else None
     if pp is not None:
         with tracing.trace_op('real', 'op;unary', tracing.tensor_args(x=x)) as tr:
-            res = planar_ops.prefix_plane(pp.re, ne=pp.ne, shape=x.shape)
+            res = planar_ops.prefix_plane(pp.re, ne=pp.ne, shape=pp.shape)
             if tr:
                 tr.result = res
-        return Tensor._from_jax(res)
+        return Tensor._from_jax(res.reshape(x.shape))
     return _unary_op(x, None, 'real', K.real_c)
 
 
@@ -645,10 +659,10 @@ def imag(x: Tensor) -> Tensor:
     pp = x._planar if isinstance(x, Tensor) else None
     if pp is not None:
         with tracing.trace_op('imag', 'op;unary', tracing.tensor_args(x=x)) as tr:
-            res = planar_ops.prefix_plane(pp.im, ne=pp.ne, shape=x.shape)
+            res = planar_ops.prefix_plane(pp.im, ne=pp.ne, shape=pp.shape)
             if tr:
                 tr.result = res
-        return Tensor._from_jax(res)
+        return Tensor._from_jax(res.reshape(x.shape))
     if x.dtype.is_real:
         # np.imag(real) == zeros (reference dsc.cpp:1596-1622)
         with tracing.trace_op('imag', 'op;unary', tracing.tensor_args(x=x)) as tr:

@@ -144,6 +144,28 @@ def test_planar_materialization_fallbacks(sig):
     assert all_close(got[1:], ref[1:].astype(np.complex64), eps=1e-2)
 
 
+def test_batched_planar_paths(sig):
+    # batched last-axis transforms ride the streaming kernel too
+    b = 2
+    xs = np.stack([sig, sig[::-1].copy()])
+    spec = dsc.rfft(dsc.from_numpy(xs))
+    assert spec.shape == (b, N // 2 + 1)
+    pp = spec._planar
+    assert pp is not None and pp.hermitian and pp.re.shape == (b, N)
+    ref = np.fft.rfft(xs, axis=-1)
+    assert np.abs(spec.numpy() - ref).max() / np.abs(ref).max() < 3e-5
+    back = dsc.irfft(spec)
+    assert back.shape == (b, N)
+    assert np.abs(back.numpy() - xs).max() < 1e-4
+    # batched complex fft, planar in/out
+    xc = (xs[0] + 1j * xs[1]).astype(np.complex64)
+    xcb = np.stack([xc, 2 * xc])
+    y = dsc.fft(dsc.from_numpy(xcb))
+    assert y._planar is not None
+    refc = np.fft.fft(xcb, axis=-1)
+    assert np.abs(y.numpy() - refc).max() / np.abs(refc).max() < 3e-5
+
+
 def test_planar_fft_ifft_chain(sig):
     x = (sig + 1j * sig[::-1]).astype(np.complex64)
     t = dsc.from_numpy(x)
