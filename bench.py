@@ -9,8 +9,14 @@ Measures on the default backend (the real TPU chip under the driver):
 
 Timing methodology: the axon TPU tunnel adds ~30 ms of fixed latency to
 EVERY dispatch, so per-call wall timing is useless. Each op is iterated
-inside one jitted lax.fori_loop with a *dynamic* trip count, and per-op
+as a straight-line chain of K dependent calls inside one jit, and per-op
 time = (t(2K) - t(K)) / K — constant dispatch overhead cancels exactly.
+A chain (not lax.fori_loop): a while-loop body's output must land in the
+carry buffer, which a pallas custom call cannot alias, so XLA inserts a
+full HBM copy of the output every iteration — measured +2 passes (e.g. fma
+256 MiB read 394 GB/s looped vs ~700+ chained, probe_stream.py). The
+eager public API writes a fresh output buffer exactly like the chain
+does, so chained timing is the faithful per-op cost.
 
 vs_baseline = dsc rfft GFLOP/s / NumPy rfft GFLOP/s on this host — the
 reference's own positioning metric ("NumPy is X.XX x faster",
@@ -45,15 +51,19 @@ def _time(fn) -> float:
 
 def bench_looped(step, state, k_base: int = K_BASE) -> float:
     """Per-iteration device time of ``state = step(state)`` via the
-    two-count differencing trick."""
+    two-count differencing trick over straight-line chains."""
+    import functools
+
     import jax
 
-    @jax.jit
-    def loop(s, k):
-        return jax.lax.fori_loop(0, k, lambda i, v: step(v), s)
+    @functools.partial(jax.jit, static_argnames=('k',))
+    def chain(s, k):
+        for _ in range(k):
+            s = step(s)
+        return s
 
-    t1 = _time(lambda: loop(state, k_base))
-    t2 = _time(lambda: loop(state, 2 * k_base))
+    t1 = _time(lambda: chain(state, k=k_base))
+    t2 = _time(lambda: chain(state, k=2 * k_base))
     return max((t2 - t1) / k_base, 1e-9)
 
 

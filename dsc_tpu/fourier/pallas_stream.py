@@ -255,16 +255,25 @@ def _phase_a_kernel(n1, n2, batch, sign, real_input, *refs):
                     out_sems.at[jnp.int32(s), jnp.int32(1)]),
             ]
 
-        # Four-step twiddle T[k, t*L+c] = A_t[k] * B[k, c], both generated
-        # in-kernel from integer iotas (exact mod-n keeps the f32 trig
-        # argument in [0, 2pi)). B is tile-independent: computed once here.
-        # Generating (rather than uploading) B matters beyond VPU cost:
-        # a (n1, 128) f32 table closed over inside jit becomes an HLO
-        # constant, and the remote-compile request body overflows (HTTP
-        # 413) once a few kernels embed 2 MiB tables each.
-        kio = jax.lax.broadcasted_iota(jnp.int32, (n1, 1), 0)
+        # Four-step twiddle W_n^{k*(128t+c)} FACTORED over k = k2*r1 + k1:
+        #   T[k, 128t+c] = U_t[k1, c] * V_t[k2, c]     (complex product)
+        # with U_t[k1,c] = W_n^{k1*(128t+c)}, V_t[k2,c] = W_n^{k2*r1*(128t+c)}.
+        # Both factors are (r, 128) — fully lane-packed. The unfactored
+        # form needs a per-tile (n1, 1) cos/sin whose 1-lane layout wastes
+        # 127/128 of the VPU and costs ~0.4 ms/phase at n1=4096 (measured,
+        # benchmarks/probe_stream.py ablation). Tables are generated
+        # in-kernel from integer iotas: uploading them would embed multi-MiB
+        # HLO constants and overflow the remote-compile body limit (413).
+        # i32 wraparound in the products is EXACT here: n is a power of two
+        # dividing 2^32, so the wrapped residue differs from the true one
+        # by a multiple of n, and rem()'s negative residues only shift the
+        # angle by -2pi — invisible to cos/sin.
         two_pi_over_n = jnp.float32(sign * 2.0 * np.pi / n)
-        blr, bli = _iota_trig(n1, LANES, n, n, sign)
+        k1_io = jax.lax.broadcasted_iota(jnp.int32, (r1, LANES), 0)
+        cu_io = jax.lax.broadcasted_iota(jnp.int32, (r1, LANES), 1)
+        k2r1_io = jax.lax.broadcasted_iota(
+            jnp.int32, (r2, LANES), 0) * jnp.int32(r1)
+        cv_io = jax.lax.broadcasted_iota(jnp.int32, (r2, LANES), 1)
         mats1, mats2, tr, ti = _gen_dft_tables(n1, r1, r2, sign, 'bf16')
 
         def step(s, tt):
@@ -272,16 +281,22 @@ def _phase_a_kernel(n1, n2, batch, sign, real_input, *refs):
             si = None if xi is None else bufs_i[s][:]
             cr, ci = _dft_slab(bufs_r[s][:], si, n1, r1, r2,
                                mats1, mats2, tr, ti)
-            # four-step twiddle: (A_t[k] * B[k, c]) applied to (n1, L)
-            stp = jax.lax.rem(jnp.int32(LANES) * t, jnp.int32(n))
-            itk = jax.lax.rem(stp * kio, jnp.int32(n))
-            ph = itk.astype(jnp.float32) * two_pi_over_n
-            atr = jnp.cos(ph)
-            ati = jnp.sin(ph)
-            twr = atr * blr - ati * bli
-            twi = atr * bli + ati * blr
-            yr = cr * twr - ci * twi
-            yi = cr * twi + ci * twr
+            col = jnp.int32(LANES) * t
+            phu = jax.lax.rem(k1_io * (col + cu_io), jnp.int32(n)) \
+                .astype(jnp.float32) * two_pi_over_n
+            phv = jax.lax.rem(k2r1_io * (col + cv_io), jnp.int32(n)) \
+                .astype(jnp.float32) * two_pi_over_n
+            ur, ui = jnp.cos(phu), jnp.sin(phu)
+            vr_, vi_ = jnp.cos(phv), jnp.sin(phv)
+            # y *= U (broadcast over k2), then *= V (broadcast over k1);
+            # the (n1, L) -> (r2, r1, L) reshape splits the sublane axis in
+            # place (c2's row index is k2*r1 + k1, see _dft_slab)
+            y3r = cr.reshape(r2, r1, LANES)
+            y3i = ci.reshape(r2, r1, LANES)
+            ar_ = y3r * ur[None] - y3i * ui[None]
+            ai_ = y3r * ui[None] + y3i * ur[None]
+            yr = (ar_ * vr_[:, None] - ai_ * vi_[:, None]).reshape(n1, LANES)
+            yi = (ar_ * vi_[:, None] + ai_ * vr_[:, None]).reshape(n1, LANES)
             # transpose to (L, n1) so the Z write is contiguous; wait for
             # the previous write from this buffer set to drain first
             @pl.when(tt >= 2)

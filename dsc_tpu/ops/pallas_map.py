@@ -37,7 +37,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-CHUNK_ROWS = 4096  # (4096, 128) f32 = 2 MiB per buffer per operand
+# (2048, 128) f32 = 1 MiB per buffer per operand. Measured best on v5e
+# (benchmarks/probe_stream.py chain sweep: 2048 > 4096 > 8192); smaller
+# tiles keep more DMAs in flight per buffer set.
+CHUNK_ROWS = 2048
 
 # elements below this take the XLA path (kernel overhead dominates)
 MIN_ELEMS = 2**21  # 8 MiB f32

@@ -6,7 +6,12 @@ Run: python examples/filter_fft.py       (TPU if available)
      PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python examples/filter_fft.py
 """
 
+import os
+import sys
+
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo root
 
 import dsc_tpu as dsc
 from dsc_tpu.models import FilterFFT, fft_convolve

@@ -1,7 +1,12 @@
 """STFT spectrogram pipeline (BASELINE.json config 4): sliding-window rfft
 + |.|^2 + log over streaming audio, traced end-to-end with dsc.profile()."""
 
+import os
+import sys
+
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo root
 
 import dsc_tpu as dsc
 from dsc_tpu.models import STFT
