@@ -1,5 +1,17 @@
-"""Benchmark helpers (reference benchmarks/python/utils.py methodology:
-2 warmup calls, latency = min of 5 iterations, perf.md:18-24)."""
+"""Benchmark helpers.
+
+The reference times each op per-call: 2 warmups, latency = min of 5
+(benchmarks/python/utils.py:11-12, perf.md:18-24). Through the axon TPU
+tunnel a single dispatch+sync carries ~30 ms of fixed latency, so per-call
+wall time is meaningless. Dispatches PIPELINE, though (measured: k chained
+eager 256-MiB adds cost 31.7 + 1.3*(k-1) ms), so ``bench`` issues k eager
+public-API ops and differences two counts: per-op = (t(2k) - t(k)) / k.
+The constant dispatch/sync latency cancels exactly; what remains is the
+marginal (steady-state) device time of one eager op — the number a local
+(non-tunneled) caller would see per call.
+
+``bench_host`` keeps the reference's per-call methodology for NumPy.
+"""
 
 import time
 
@@ -7,21 +19,32 @@ import jax
 
 WARMUP = 2
 BENCH_STEPS = 5
+K_BASE = 8
 
 
-def bench(fn) -> float:
-    """Best-of-5 wall time of fn() with device sync."""
+def bench(fn, k_base: int = K_BASE) -> float:
+    """Marginal per-op device time of the eager op ``fn()`` (public API),
+    via pipelined-dispatch differencing."""
     for _ in range(WARMUP):
         jax.block_until_ready(fn())
-    best = float('inf')
-    for _ in range(BENCH_STEPS):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn())
-        best = min(best, time.perf_counter() - t0)
-    return best
+
+    def t(k: int) -> float:
+        best = float('inf')
+        for _ in range(BENCH_STEPS):
+            t0 = time.perf_counter()
+            r = None
+            for _ in range(k):
+                r = fn()
+            jax.block_until_ready(r)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return max((t(2 * k_base) - t(k_base)) / k_base, 1e-9)
 
 
 def bench_host(fn) -> float:
+    """Best-of-5 per-call wall time (the reference methodology; fine on
+    host where there is no dispatch tunnel)."""
     for _ in range(WARMUP):
         fn()
     best = float('inf')

@@ -304,8 +304,15 @@ def _phase_a_kernel(n1, n2, batch, sign, real_input, *refs):
                 for cp in out_dma(s, tt - 2):
                     cp.wait()
 
-            outs_r[s][:] = yr.T
-            outs_i[s][:] = yi.T
+            # per-(L, L)-block vreg transposes instead of a monolithic .T:
+            # measured 0.32 ms vs 0.67 ms per phase at n1=4096 — Mosaic's
+            # general (n1, L) -> (L, n1) relayout serializes against the
+            # DMA pipeline while square block transposes overlap fully
+            # (benchmarks/probe_stream.py, 'fblk' vs 'full')
+            for j in range(n1 // LANES):
+                lo, hi = j * LANES, (j + 1) * LANES
+                outs_r[s][:, lo:hi] = yr[lo:hi, :].T
+                outs_i[s][:, lo:hi] = yi[lo:hi, :].T
             for cp in out_dma(s, tt):
                 cp.start()
 
