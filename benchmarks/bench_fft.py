@@ -18,13 +18,33 @@ from utils import bench, bench_host
 RESULTS = []
 
 
+def _out_path():
+    return os.path.join(os.path.dirname(__file__), 'results_fft.json')
+
+
+def _dump():
+    """Merge-write results after every section so a timed-out run still
+    leaves its finished measurements on disk."""
+    merged = RESULTS
+    if os.path.exists(_out_path()):
+        with open(_out_path()) as f:
+            old = json.load(f)
+        keys = {(r.get('bench'), r.get('log2n'), r.get('batch'))
+                for r in RESULTS}
+        merged = [r for r in old if (r.get('bench'), r.get('log2n'),
+                                     r.get('batch')) not in keys] + RESULTS
+    with open(_out_path(), 'w') as f:
+        json.dump(merged, f, indent=1)
+
+
 def main():
     dsc.init(int(8 * 2**30))
+    part = os.environ.get('DSC_BENCH_PART', 'all')
 
     print('== 1-D fft/rfft forward, f32/c32 (public API) ==')
     print(f'{"N":>9} {"dsc fft":>12} {"np fft":>12} {"dsc GF/s":>9} '
           f'{"np GF/s":>9} {"rfft GF/s":>10}')
-    for e in range(8, 25, 2):
+    for e in (range(8, 25, 2) if part in ('all', '1d') else ()):
         n = 2**e
         flops_c = 5 * n * e
         flops_r = 2.5 * n * e
@@ -39,37 +59,47 @@ def main():
             pp = t._planar
             return (pp.re, pp.im) if pp is not None else t.jax
 
-        td = bench(lambda: _sync(dsc.fft(xcd)))
+        # adaptive op count: small transforms need many pipelined ops for
+        # the difference to rise above the tunnel's timing noise
+        kb = max(8, min(512, 2**22 // n))
+        td = bench(lambda: _sync(dsc.fft(xcd)), k_base=kb)
         tn = bench_host(lambda: np.fft.fft(xc))
-        tr = bench(lambda: _sync(dsc.rfft(xrd)))
+        tr = bench(lambda: _sync(dsc.rfft(xrd)), k_base=kb)
         RESULTS.append({'bench': 'fft1d', 'log2n': e, 'fft_s': td,
                         'rfft_s': tr, 'numpy_fft_s': tn,
                         'fft_gflops': flops_c / td / 1e9,
                         'rfft_gflops': flops_r / tr / 1e9})
 
+        _dump()
         print(f'2^{e:<7} {td * 1e6:10.1f}us {tn * 1e6:10.1f}us '
               f'{flops_c / td / 1e9:9.1f} {flops_c / tn / 1e9:9.1f} '
               f'{flops_r / tr / 1e9:10.1f}')
 
+    def _sync2(t):
+        pp = t._planar
+        return (pp.re, pp.im) if pp is not None else t.jax
+
     print('\n== batched fft suite (BASELINE config 3) ==')
-    for b, e in ((2048, 12), (256, 16), (64, 18), (16, 20), (4, 22)):
+    for b, e in (((2048, 12), (256, 16), (64, 18), (16, 20), (4, 22))
+                 if part in ('all', 'batched') else ()):
         n = 2**e
         x = (np.random.randn(b, n) + 1j * np.random.randn(b, n)).astype(
             np.complex64
         )
         xd = dsc.from_numpy(x)
-        td = bench(lambda: dsc.fft(xd).jax)
+        td = bench(lambda: _sync2(dsc.fft(xd)))
         gf = 5 * n * e * b / td / 1e9
         tn = bench_host(lambda: np.fft.fft(x, axis=-1))
         RESULTS.append({'bench': 'fft_batched', 'batch': b, 'log2n': e,
                         'dsc_s': td, 'numpy_s': tn, 'gflops': gf})
+        _dump()
         print(f'  {b:5d} x 2^{e:<3}: dsc {td * 1e3:8.2f} ms ({gf:7.1f} GF/s)  '
               f'numpy {tn * 1e3:8.2f} ms  ({tn / td:6.2f}x)')
 
     print('\n== plan-cache stress (>16 plans) ==')
     t0 = time.perf_counter()
     n_plans = 0
-    for e in range(6, 16):
+    for e in (range(6, 16) if part in ('all', 'stress') else ()):
         for kind in ('c', 'r'):
             n = 2**e
             if kind == 'c':
@@ -88,10 +118,8 @@ def main():
           f'(cache cap {fft_plan.MAX_FFT_PLANS}, holding '
           f'{fft_plan.num_plans()})')
 
-    out_path = os.path.join(os.path.dirname(__file__), 'results_fft.json')
-    with open(out_path, 'w') as f:
-        json.dump(RESULTS, f, indent=1)
-    print(f'\n{len(RESULTS)} measurements -> {out_path}')
+    _dump()
+    print(f'\n{len(RESULTS)} measurements -> {_out_path()}')
 
 
 if __name__ == '__main__':

@@ -130,13 +130,14 @@ def size_sweep():
         row = dsc.randn((1, cols))
         out = dsc.empty((rows, cols))
 
+        kb = max(8, min(512, 2**24 // ne))
         cells = []
         for label, fn in (
             ('same', lambda: dsc.add(x, y, out=out).jax),
             ('scalar', lambda: dsc.add(x, 1.5, out=out).jax),
             ('bcast', lambda: dsc.add(x, row, out=out).jax),
         ):
-            t = bench(fn)
+            t = bench(fn, k_base=kb)
             gbs = 3 * ne * 4 / t / 1e9  # 2 reads + 1 write (nominal)
             record(bench='sweep', op=f'add/{label}', log2n=log2n,
                    dsc_s=t, gbs=gbs)

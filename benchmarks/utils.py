@@ -16,30 +16,51 @@ marginal (steady-state) device time of one eager op — the number a local
 import time
 
 import jax
+import numpy as np
 
 WARMUP = 2
 BENCH_STEPS = 5
 K_BASE = 8
 
 
+def _drain(r) -> None:
+    """Force a tiny real device->host download of r's first leaf. On the
+    axon backend, block_until_ready alone can return BEFORE side-effecting
+    pallas programs have finished; a genuine read drains the execution
+    queue. Done inside the timed region its ~30 ms fixed cost is constant
+    and cancels exactly in the (t(2k) - t(k)) difference."""
+    for leaf in jax.tree_util.tree_leaves(r):
+        if hasattr(leaf, 'ravel'):
+            x = leaf.ravel()[:1]
+            if np.issubdtype(np.dtype(x.dtype), np.complexfloating):
+                # complex cannot cross the axon transfer boundary
+                import jax.numpy as jnp
+
+                x = jnp.real(x)
+            np.asarray(x)
+            return
+
+
 def bench(fn, k_base: int = K_BASE) -> float:
-    """Marginal per-op device time of the eager op ``fn()`` (public API),
-    via pipelined-dispatch differencing."""
+    """Marginal per-op time of the eager op ``fn()`` (public API), via
+    pipelined-dispatch differencing; median of per-rep paired differences
+    (tunnel latency noise makes a difference-of-minima go negative)."""
     for _ in range(WARMUP):
         jax.block_until_ready(fn())
 
     def t(k: int) -> float:
-        best = float('inf')
-        for _ in range(BENCH_STEPS):
-            t0 = time.perf_counter()
-            r = None
-            for _ in range(k):
-                r = fn()
-            jax.block_until_ready(r)
-            best = min(best, time.perf_counter() - t0)
-        return best
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(k):
+            r = fn()
+        _drain(r)
+        return time.perf_counter() - t0
 
-    return max((t(2 * k_base) - t(k_base)) / k_base, 1e-9)
+    t(k_base)  # one throwaway pair-priming run after warmup
+    samples = sorted(
+        (t(2 * k_base) - t(k_base)) / k_base for _ in range(BENCH_STEPS)
+    )
+    return max(samples[len(samples) // 2], 1e-9)
 
 
 def bench_host(fn) -> float:
