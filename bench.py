@@ -34,7 +34,7 @@ import time
 import numpy as np
 
 K_BASE = 8
-REPS = 3
+REPS = 5
 
 
 def _time(fn) -> float:

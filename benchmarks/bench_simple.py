@@ -26,9 +26,27 @@ from utils import bench, bench_host
 
 RESULTS = []
 
+OUT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'results_simple.json')
+
 
 def record(**kw):
     RESULTS.append(kw)
+
+
+def dump():
+    """Merge-write after every row so a timed-out run keeps its rows."""
+    merged = RESULTS
+    if os.path.exists(OUT_PATH):
+        with open(OUT_PATH) as f:
+            old = json.load(f)
+        keys = {(r.get('bench'), r.get('dtype'), r.get('op'), r.get('rhs'),
+                 r.get('log2n')) for r in RESULTS}
+        merged = [r for r in old if (r.get('bench'), r.get('dtype'),
+                                     r.get('op'), r.get('rhs'),
+                                     r.get('log2n')) not in keys] + RESULTS
+    with open(OUT_PATH, 'w') as f:
+        json.dump(merged, f, indent=1)
 
 
 def fmt(t: float) -> str:
@@ -53,8 +71,11 @@ def _rand(shape, np_dt):
 def reference_workloads():
     """The reference's exact op grid at x = [60, 60000]."""
     shape = (60, 60000)
+    only = os.environ.get('DSC_BENCH_DTYPES')  # e.g. 'float32,complex64'
     print(f'== reference workload parity @ {shape} ==')
     for np_dt, dsc_dt in DTYPES:
+        if only and np_dt.__name__ not in only.split(','):
+            continue
         x, y = _rand(shape, np_dt), _rand(shape, np_dt)
         xd, yd = dsc.from_numpy(x), dsc.from_numpy(y)
         out = dsc.empty(shape, dtype=dsc_dt)
@@ -114,6 +135,7 @@ def reference_workloads():
                    shape=list(shape), dsc_s=td, numpy_s=tn)
             print(f'{np_dt.__name__:>10} {name:>5}: dsc {fmt(td)}  '
                   f'numpy {fmt(tn)}  ({tn / td:6.2f}x)')
+        dump()
 
 
 def size_sweep():
@@ -142,6 +164,7 @@ def size_sweep():
             record(bench='sweep', op=f'add/{label}', log2n=log2n,
                    dsc_s=t, gbs=gbs)
             cells.append(f'{t * 1e6:9.1f}us {gbs:6.1f}GB/s')
+        dump()
         print(f'2^{log2n:<8} {cells[0]:>22} {cells[1]:>22} {cells[2]:>22}')
 
     print('\n== reduction size sweep (f32 sum, axis=-1) ==')
@@ -158,12 +181,13 @@ def size_sweep():
 
 def main():
     dsc.init(int(8 * 2**30))
-    reference_workloads()
-    size_sweep()
-    out_path = os.path.join(os.path.dirname(__file__), 'results_simple.json')
-    with open(out_path, 'w') as f:
-        json.dump(RESULTS, f, indent=1)
-    print(f'\n{len(RESULTS)} measurements -> {out_path}')
+    part = os.environ.get('DSC_BENCH_PART', 'all')
+    if part in ('all', 'ref'):
+        reference_workloads()
+    if part in ('all', 'sweep'):
+        size_sweep()
+    dump()
+    print(f'\n{len(RESULTS)} measurements -> {OUT_PATH}')
 
 
 if __name__ == '__main__':

@@ -19,7 +19,7 @@ import jax
 import numpy as np
 
 WARMUP = 2
-BENCH_STEPS = 5
+BENCH_STEPS = 7
 K_BASE = 8
 
 

@@ -62,7 +62,7 @@ def use_stream(dtype, batch: int, spec) -> bool:
         return False
     from . import pallas_stream
 
-    if not pallas_stream.supported(spec[1], spec[2], dtype):
+    if not pallas_stream.supported(spec[1], spec[2], dtype, batch):
         return False
     if STREAM_MODE == 'on':
         return True

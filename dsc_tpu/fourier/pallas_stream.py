@@ -65,11 +65,23 @@ FACTOR_MIN = 512
 FACTOR_MAX = 4096
 
 
-def supported(n1: int, n2: int, dtype) -> bool:
+def _group(batch: int, nf: int) -> int:
+    """Consecutive batch rows grouped per DMA so small-factor batched
+    transforms keep >= 2 MiB transfers (one (g*nf, 128) slab per copy)."""
+    g = min(batch, max(1, FACTOR_MAX // nf))
+    while batch % g:
+        g -= 1
+    return g
+
+
+def supported(n1: int, n2: int, dtype, batch: int = 1) -> bool:
     if np.dtype(dtype) != np.complex64:
         return False
+    # batch==1 keeps the 512 floor (tiny tiles are DMA-latency-bound);
+    # batched transforms amortize via super-row grouping (_group)
+    fmin = FACTOR_MIN if batch == 1 else 256
     for f in (n1, n2):
-        if not (FACTOR_MIN <= f <= FACTOR_MAX) or f & (f - 1):
+        if not (fmin <= f <= FACTOR_MAX) or f & (f - 1):
             return False
     return n1 % LANES == 0 and n2 % LANES == 0
 
@@ -214,6 +226,8 @@ def _phase_a_kernel(n1, n2, batch, sign, real_input, *refs):
     r1 = 1 << ((n1.bit_length() - 1) // 2)
     r2 = n1 // r1
     n = n1 * n2
+    g = _group(batch, n1)
+    gn1 = g * n1
 
     def body(bufs_r0, bufs_r1, bufs_i0, bufs_i1,
              outs_r0, outs_r1, outs_i0, outs_i1, in_sems, out_sems):
@@ -223,37 +237,46 @@ def _phase_a_kernel(n1, n2, batch, sign, real_input, *refs):
         outs_i = (outs_i0, outs_i1)
 
         def _split(tt):
-            """tile index -> (batch row b, column tile t)."""
-            if batch == 1:
+            """tile index -> (batch row-group bg, column tile t)."""
+            if batch == g:
                 return jnp.int32(0), tt
             nt = jnp.int32(n_tiles)
             return tt // nt, jax.lax.rem(tt, nt)
 
         def in_dma(s, tt):
-            b, t = _split(tt)
-            roff = pl.multiple_of(b * jnp.int32(n1), n1)
+            bg, t = _split(tt)
+            # g consecutive batch rows share one (g*n1, L) strided copy
+            roff = pl.multiple_of(bg * jnp.int32(gn1), gn1)
             off = pl.multiple_of(t * jnp.int32(LANES), LANES)
             cps = [pltpu.make_async_copy(
-                xr.at[pl.ds(roff, n1), pl.ds(off, LANES)], bufs_r[s],
+                xr.at[pl.ds(roff, gn1), pl.ds(off, LANES)], bufs_r[s],
                 in_sems.at[jnp.int32(s), jnp.int32(0)])]
             if xi is not None:
                 cps.append(pltpu.make_async_copy(
-                    xi.at[pl.ds(roff, n1), pl.ds(off, LANES)], bufs_i[s],
+                    xi.at[pl.ds(roff, gn1), pl.ds(off, LANES)], bufs_i[s],
                     in_sems.at[jnp.int32(s), jnp.int32(1)]))
             return cps
 
         def out_dma(s, tt):
-            b, t = _split(tt)
-            roff = pl.multiple_of(b * jnp.int32(n2) + t * jnp.int32(LANES),
-                                  LANES)
-            return [
-                pltpu.make_async_copy(
-                    outs_r[s], zr.at[pl.ds(roff, LANES), _ds0(n1)],
-                    out_sems.at[jnp.int32(s), jnp.int32(0)]),
-                pltpu.make_async_copy(
-                    outs_i[s], zi.at[pl.ds(roff, LANES), _ds0(n1)],
-                    out_sems.at[jnp.int32(s), jnp.int32(1)]),
-            ]
+            bg, t = _split(tt)
+            # per-segment contiguous (L, n1) writes: segment seg's rows in
+            # Z sit at (bg*g + seg)*n2 + t*L — not contiguous across segs
+            cps = []
+            for seg in range(g):
+                roff = pl.multiple_of(
+                    (bg * jnp.int32(g) + jnp.int32(seg)) * jnp.int32(n2)
+                    + t * jnp.int32(LANES),
+                    LANES)
+                src = pl.ds(seg * n1, n1)
+                cps.append(pltpu.make_async_copy(
+                    outs_r[s].at[_ds0(LANES), src],
+                    zr.at[pl.ds(roff, LANES), _ds0(n1)],
+                    out_sems.at[jnp.int32(s), jnp.int32(0), jnp.int32(seg)]))
+                cps.append(pltpu.make_async_copy(
+                    outs_i[s].at[_ds0(LANES), src],
+                    zi.at[pl.ds(roff, LANES), _ds0(n1)],
+                    out_sems.at[jnp.int32(s), jnp.int32(1), jnp.int32(seg)]))
+            return cps
 
         # Four-step twiddle W_n^{k*(128t+c)} FACTORED over k = k2*r1 + k1:
         #   T[k, 128t+c] = U_t[k1, c] * V_t[k2, c]     (complex product)
@@ -278,9 +301,6 @@ def _phase_a_kernel(n1, n2, batch, sign, real_input, *refs):
 
         def step(s, tt):
             _, t = _split(tt)
-            si = None if xi is None else bufs_i[s][:]
-            cr, ci = _dft_slab(bufs_r[s][:], si, n1, r1, r2,
-                               mats1, mats2, tr, ti)
             col = jnp.int32(LANES) * t
             phu = jax.lax.rem(k1_io * (col + cu_io), jnp.int32(n)) \
                 .astype(jnp.float32) * two_pi_over_n
@@ -288,36 +308,42 @@ def _phase_a_kernel(n1, n2, batch, sign, real_input, *refs):
                 .astype(jnp.float32) * two_pi_over_n
             ur, ui = jnp.cos(phu), jnp.sin(phu)
             vr_, vi_ = jnp.cos(phv), jnp.sin(phv)
-            # y *= U (broadcast over k2), then *= V (broadcast over k1);
-            # the (n1, L) -> (r2, r1, L) reshape splits the sublane axis in
-            # place (c2's row index is k2*r1 + k1, see _dft_slab)
-            y3r = cr.reshape(r2, r1, LANES)
-            y3i = ci.reshape(r2, r1, LANES)
-            ar_ = y3r * ur[None] - y3i * ui[None]
-            ai_ = y3r * ui[None] + y3i * ur[None]
-            yr = (ar_ * vr_[:, None] - ai_ * vi_[:, None]).reshape(n1, LANES)
-            yi = (ar_ * vi_[:, None] + ai_ * vr_[:, None]).reshape(n1, LANES)
-            # transpose to (L, n1) so the Z write is contiguous; wait for
-            # the previous write from this buffer set to drain first
+
             @pl.when(tt >= 2)
             def _():
                 for cp in out_dma(s, tt - 2):
                     cp.wait()
 
-            # per-(L, L)-block vreg transposes instead of a monolithic .T:
-            # measured 0.32 ms vs 0.67 ms per phase at n1=4096 — Mosaic's
-            # general (n1, L) -> (L, n1) relayout serializes against the
-            # DMA pipeline while square block transposes overlap fully
-            # (benchmarks/probe_stream.py, 'fblk' vs 'full')
-            for j in range(n1 // LANES):
-                lo, hi = j * LANES, (j + 1) * LANES
-                outs_r[s][:, lo:hi] = yr[lo:hi, :].T
-                outs_i[s][:, lo:hi] = yi[lo:hi, :].T
+            for seg in range(g):
+                seg_rows = slice(seg * n1, (seg + 1) * n1)
+                si = None if xi is None else bufs_i[s][seg_rows, :]
+                cr, ci = _dft_slab(bufs_r[s][seg_rows, :], si, n1, r1, r2,
+                                   mats1, mats2, tr, ti)
+                # y *= U (broadcast over k2), then *= V (broadcast over
+                # k1); the (n1, L) -> (r2, r1, L) reshape splits the
+                # sublane axis in place (c2's row index is k2*r1 + k1)
+                y3r = cr.reshape(r2, r1, LANES)
+                y3i = ci.reshape(r2, r1, LANES)
+                ar_ = y3r * ur[None] - y3i * ui[None]
+                ai_ = y3r * ui[None] + y3i * ur[None]
+                yr = (ar_ * vr_[:, None]
+                      - ai_ * vi_[:, None]).reshape(n1, LANES)
+                yi = (ar_ * vi_[:, None]
+                      + ai_ * vr_[:, None]).reshape(n1, LANES)
+                # per-(L, L)-block vreg transposes instead of a monolithic
+                # .T: measured 0.32 vs 0.67 ms/phase at n1=4096 — Mosaic's
+                # general (n1, L) -> (L, n1) relayout serializes against
+                # the DMA pipeline while square block transposes overlap
+                # fully (benchmarks/probe_stream.py, 'fblk' vs 'full')
+                for j in range(n1 // LANES):
+                    lo, hi = seg * n1 + j * LANES, seg * n1 + (j + 1) * LANES
+                    outs_r[s][:, lo:hi] = yr[j * LANES:(j + 1) * LANES, :].T
+                    outs_i[s][:, lo:hi] = yi[j * LANES:(j + 1) * LANES, :].T
             for cp in out_dma(s, tt):
                 cp.start()
 
         _pipe2(
-            batch * n_tiles,
+            (batch // g) * n_tiles,
             lambda s, t: [cp.start() for cp in in_dma(s, t)],
             lambda s, t: [cp.wait() for cp in in_dma(s, t)],
             step,
@@ -326,16 +352,16 @@ def _phase_a_kernel(n1, n2, batch, sign, real_input, *refs):
 
     pl.run_scoped(
         body,
-        bufs_r0=pltpu.VMEM((n1, LANES), jnp.float32),
-        bufs_r1=pltpu.VMEM((n1, LANES), jnp.float32),
-        bufs_i0=pltpu.VMEM((n1, LANES), jnp.float32),
-        bufs_i1=pltpu.VMEM((n1, LANES), jnp.float32),
-        outs_r0=pltpu.VMEM((LANES, n1), jnp.float32),
-        outs_r1=pltpu.VMEM((LANES, n1), jnp.float32),
-        outs_i0=pltpu.VMEM((LANES, n1), jnp.float32),
-        outs_i1=pltpu.VMEM((LANES, n1), jnp.float32),
+        bufs_r0=pltpu.VMEM((gn1, LANES), jnp.float32),
+        bufs_r1=pltpu.VMEM((gn1, LANES), jnp.float32),
+        bufs_i0=pltpu.VMEM((gn1, LANES), jnp.float32),
+        bufs_i1=pltpu.VMEM((gn1, LANES), jnp.float32),
+        outs_r0=pltpu.VMEM((LANES, gn1), jnp.float32),
+        outs_r1=pltpu.VMEM((LANES, gn1), jnp.float32),
+        outs_i0=pltpu.VMEM((LANES, gn1), jnp.float32),
+        outs_i1=pltpu.VMEM((LANES, gn1), jnp.float32),
         in_sems=pltpu.SemaphoreType.DMA((2, 2)),
-        out_sems=pltpu.SemaphoreType.DMA((2, 2)),
+        out_sems=pltpu.SemaphoreType.DMA((2, 2, g)),
     )
 
 
@@ -350,6 +376,8 @@ def _phase_b_kernel(n1, n2, batch, sign, scale, real_output, *refs):
     n_tiles = n1 // LANES
     r1 = 1 << ((n2.bit_length() - 1) // 2)
     r2 = n2 // r1
+    g = _group(batch, n2)
+    gn2 = g * n2
 
     def body(bufs_r0, bufs_r1, bufs_i0, bufs_i1,
              outs_r0, outs_r1, outs_i0, outs_i1, in_sems, out_sems):
@@ -359,62 +387,67 @@ def _phase_b_kernel(n1, n2, batch, sign, scale, real_output, *refs):
         outs_i = (outs_i0, outs_i1)
 
         def _split(tt):
-            if batch == 1:
+            if batch == g:
                 return jnp.int32(0), tt
             nt = jnp.int32(n_tiles)
             return tt // nt, jax.lax.rem(tt, nt)
 
         def in_dma(s, tt):
-            b, t = _split(tt)
-            roff = pl.multiple_of(b * jnp.int32(n2), n2)
+            # group rows [bg*g*n2, (bg+1)*g*n2) are contiguous in Z — one
+            # strided (g*n2, L) copy per plane
+            bg, t = _split(tt)
+            roff = pl.multiple_of(bg * jnp.int32(gn2), gn2)
             off = pl.multiple_of(t * jnp.int32(LANES), LANES)
             return [
                 pltpu.make_async_copy(
-                    zr.at[pl.ds(roff, n2), pl.ds(off, LANES)], bufs_r[s],
+                    zr.at[pl.ds(roff, gn2), pl.ds(off, LANES)], bufs_r[s],
                     in_sems.at[jnp.int32(s), jnp.int32(0)]),
                 pltpu.make_async_copy(
-                    zi.at[pl.ds(roff, n2), pl.ds(off, LANES)], bufs_i[s],
+                    zi.at[pl.ds(roff, gn2), pl.ds(off, LANES)], bufs_i[s],
                     in_sems.at[jnp.int32(s), jnp.int32(1)]),
             ]
 
         def out_dma(s, tt):
-            b, t = _split(tt)
-            roff = pl.multiple_of(b * jnp.int32(n2), n2)
+            # same (g*n2, L) region in X — one strided copy per plane
+            bg, t = _split(tt)
+            roff = pl.multiple_of(bg * jnp.int32(gn2), gn2)
             off = pl.multiple_of(t * jnp.int32(LANES), LANES)
             cps = [pltpu.make_async_copy(
-                outs_r[s], xor_.at[pl.ds(roff, n2), pl.ds(off, LANES)],
+                outs_r[s], xor_.at[pl.ds(roff, gn2), pl.ds(off, LANES)],
                 out_sems.at[jnp.int32(s), jnp.int32(0)])]
             if xoi is not None:
                 cps.append(pltpu.make_async_copy(
-                    outs_i[s], xoi.at[pl.ds(roff, n2), pl.ds(off, LANES)],
+                    outs_i[s], xoi.at[pl.ds(roff, gn2), pl.ds(off, LANES)],
                     out_sems.at[jnp.int32(s), jnp.int32(1)]))
             return cps
 
         mats1, mats2, tr, ti = _gen_dft_tables(n2, r1, r2, sign, 'bf16')
 
         def step(s, tt):
-            cr, ci = _dft_slab(bufs_r[s][:], bufs_i[s][:], n2, r1, r2,
-                               mats1, mats2, tr, ti)
-
             @pl.when(tt >= 2)
             def _():
                 for cp in out_dma(s, tt - 2):
                     cp.wait()
 
-            if scale != 1.0:
-                sc = jnp.float32(scale)
-                outs_r[s][:] = cr * sc
-                if xoi is not None:
-                    outs_i[s][:] = ci * sc
-            else:
-                outs_r[s][:] = cr
-                if xoi is not None:
-                    outs_i[s][:] = ci
+            for seg in range(g):
+                seg_rows = slice(seg * n2, (seg + 1) * n2)
+                cr, ci = _dft_slab(bufs_r[s][seg_rows, :],
+                                   bufs_i[s][seg_rows, :], n2, r1, r2,
+                                   mats1, mats2, tr, ti)
+                if scale != 1.0:
+                    sc = jnp.float32(scale)
+                    outs_r[s][seg_rows, :] = cr * sc
+                    if xoi is not None:
+                        outs_i[s][seg_rows, :] = ci * sc
+                else:
+                    outs_r[s][seg_rows, :] = cr
+                    if xoi is not None:
+                        outs_i[s][seg_rows, :] = ci
             for cp in out_dma(s, tt):
                 cp.start()
 
         _pipe2(
-            batch * n_tiles,
+            (batch // g) * n_tiles,
             lambda s, t: [cp.start() for cp in in_dma(s, t)],
             lambda s, t: [cp.wait() for cp in in_dma(s, t)],
             step,
@@ -423,14 +456,14 @@ def _phase_b_kernel(n1, n2, batch, sign, scale, real_output, *refs):
 
     pl.run_scoped(
         body,
-        bufs_r0=pltpu.VMEM((n2, LANES), jnp.float32),
-        bufs_r1=pltpu.VMEM((n2, LANES), jnp.float32),
-        bufs_i0=pltpu.VMEM((n2, LANES), jnp.float32),
-        bufs_i1=pltpu.VMEM((n2, LANES), jnp.float32),
-        outs_r0=pltpu.VMEM((n2, LANES), jnp.float32),
-        outs_r1=pltpu.VMEM((n2, LANES), jnp.float32),
-        outs_i0=pltpu.VMEM((n2, LANES), jnp.float32),
-        outs_i1=pltpu.VMEM((n2, LANES), jnp.float32),
+        bufs_r0=pltpu.VMEM((gn2, LANES), jnp.float32),
+        bufs_r1=pltpu.VMEM((gn2, LANES), jnp.float32),
+        bufs_i0=pltpu.VMEM((gn2, LANES), jnp.float32),
+        bufs_i1=pltpu.VMEM((gn2, LANES), jnp.float32),
+        outs_r0=pltpu.VMEM((gn2, LANES), jnp.float32),
+        outs_r1=pltpu.VMEM((gn2, LANES), jnp.float32),
+        outs_i0=pltpu.VMEM((gn2, LANES), jnp.float32),
+        outs_i1=pltpu.VMEM((gn2, LANES), jnp.float32),
         in_sems=pltpu.SemaphoreType.DMA((2, 2)),
         out_sems=pltpu.SemaphoreType.DMA((2, 2)),
     )
@@ -483,7 +516,8 @@ def fourstep_stream_p(
             jax.ShapeDtypeStruct((batch * n2, n1), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, vmem_limit_bytes=_vmem_limit(n1)
+            has_side_effects=True,
+            vmem_limit_bytes=_vmem_limit(_group(batch, n1) * n1),
         ),
         interpret=interp,
     )(*ins_a)
@@ -502,7 +536,8 @@ def fourstep_stream_p(
         out_specs=out_specs,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, vmem_limit_bytes=_vmem_limit(n2)
+            has_side_effects=True,
+            vmem_limit_bytes=_vmem_limit(_group(batch, n2) * n2),
         ),
         interpret=interp,
     )(zr, zi)
