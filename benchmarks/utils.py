@@ -20,7 +20,7 @@ import numpy as np
 
 WARMUP = 2
 BENCH_STEPS = 7
-K_BASE = 8
+K_BASE = 16
 
 
 def _drain(r) -> None:
