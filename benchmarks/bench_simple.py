@@ -34,6 +34,21 @@ def record(**kw):
     RESULTS.append(kw)
 
 
+_EXISTING = set()
+if os.environ.get('DSC_BENCH_RESUME') and os.path.exists(OUT_PATH):
+    with open(OUT_PATH) as _f:
+        _EXISTING = {
+            (r.get('bench'), r.get('dtype'), r.get('op'), r.get('rhs'),
+             r.get('log2n'))
+            for r in json.load(_f)
+        }
+
+
+def have(bench_kind, dtype=None, op=None, rhs=None, log2n=None):
+    """True when DSC_BENCH_RESUME=1 and this row is already on disk."""
+    return (bench_kind, dtype, op, rhs, log2n) in _EXISTING
+
+
 def dump():
     """Merge-write after every row so a timed-out run keeps its rows."""
     merged = RESULTS
@@ -90,10 +105,13 @@ def reference_workloads():
         ]
         for name, dfn, nfn in binaries:
             for rhs_kind, rd, rn in (('tensor', yd, y), ('scalar', 1.5, 1.5)):
+                if have('binary', np_dt.__name__, name, rhs_kind):
+                    continue
                 td = bench(lambda: dfn(xd, rd, out=out).jax)
                 tn = bench_host(lambda: nfn(x, rn, out=npo))
                 record(bench='binary', dtype=np_dt.__name__, op=name,
                        rhs=rhs_kind, shape=list(shape), dsc_s=td, numpy_s=tn)
+                dump()
                 print(f'{np_dt.__name__:>10} {name:>5}/{rhs_kind:<6}: '
                       f'dsc {fmt(td)}  numpy {fmt(tn)}  ({tn / td:6.2f}x)')
 
@@ -105,21 +123,25 @@ def reference_workloads():
             ('exp', dsc.exp, np.exp), ('sqrt', dsc.sqrt, np.sqrt),
         ]
         for name, dfn, nfn in unaries:
+            if have('unary', np_dt.__name__, name):
+                continue
             xa = np.abs(x) if name.startswith('log') or name == 'sqrt' else x
             xda = dsc.from_numpy(xa)
             td = bench(lambda: dfn(xda, out=out).jax)
             tn = bench_host(lambda: nfn(xa))
             record(bench='unary', dtype=np_dt.__name__, op=name,
                    shape=list(shape), dsc_s=td, numpy_s=tn)
+            dump()
             print(f'{np_dt.__name__:>10} {name:>5}: dsc {fmt(td)}  '
                   f'numpy {fmt(tn)}  ({tn / td:6.2f}x)')
-        if not np.dtype(np_dt).kind == 'c':
+        if np.dtype(np_dt).kind != 'c' and not have('unary', np_dt.__name__, 'i0'):
             xa = np.abs(x)
             xda = dsc.from_numpy(xa)
             td = bench(lambda: dsc.i0(xda).jax)
             tn = bench_host(lambda: np.i0(xa.reshape(-1)))
             record(bench='unary', dtype=np_dt.__name__, op='i0',
                    shape=list(shape), dsc_s=td, numpy_s=tn)
+            dump()
             print(f'{np_dt.__name__:>10}    i0: dsc {fmt(td)}  '
                   f'numpy {fmt(tn)}  ({tn / td:6.2f}x)')
 
@@ -129,10 +151,13 @@ def reference_workloads():
             ('max', dsc.max, np.max), ('min', dsc.min, np.min),
         ]
         for name, dfn, nfn in reductions:
+            if have('reduction', np_dt.__name__, name):
+                continue
             td = bench(lambda: dfn(xd, axis=0).jax)
             tn = bench_host(lambda: nfn(x, axis=0))
             record(bench='reduction', dtype=np_dt.__name__, op=name,
                    shape=list(shape), dsc_s=td, numpy_s=tn)
+            dump()
             print(f'{np_dt.__name__:>10} {name:>5}: dsc {fmt(td)}  '
                   f'numpy {fmt(tn)}  ({tn / td:6.2f}x)')
         dump()

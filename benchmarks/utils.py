@@ -13,6 +13,7 @@ marginal (steady-state) device time of one eager op — the number a local
 ``bench_host`` keeps the reference's per-call methodology for NumPy.
 """
 
+import os
 import time
 
 import jax
@@ -21,6 +22,21 @@ import numpy as np
 WARMUP = 2
 BENCH_STEPS = 7
 K_BASE = 16
+
+# The remote compile helper occasionally wedges (a single complex-dtype
+# compile can hang indefinitely, ~half of process runs). With
+# DSC_BENCH_WATCHDOG=<seconds> set, each measurement re-arms a
+# faulthandler timer that aborts the process if one measurement exceeds
+# the budget — combined with the suites' per-row merge dumps and
+# DSC_BENCH_RESUME, repeated runs make monotone progress.
+_WATCHDOG = int(os.environ.get('DSC_BENCH_WATCHDOG', '0'))
+
+
+def _rearm():
+    if _WATCHDOG:
+        import faulthandler
+
+        faulthandler.dump_traceback_later(_WATCHDOG, exit=True)
 
 
 def _drain(r) -> None:
@@ -45,6 +61,7 @@ def bench(fn, k_base: int = K_BASE) -> float:
     """Marginal per-op time of the eager op ``fn()`` (public API), via
     pipelined-dispatch differencing; median of per-rep paired differences
     (tunnel latency noise makes a difference-of-minima go negative)."""
+    _rearm()
     for _ in range(WARMUP):
         jax.block_until_ready(fn())
 
