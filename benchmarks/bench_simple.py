@@ -125,7 +125,9 @@ def reference_workloads():
         for name, dfn, nfn in unaries:
             if have('unary', np_dt.__name__, name):
                 continue
-            xa = np.abs(x) if name.startswith('log') or name == 'sqrt' else x
+            needs_abs = (name.startswith('log') or name == 'sqrt') \
+                and np.dtype(np_dt).kind != 'c'
+            xa = np.abs(x) if needs_abs else x
             xda = dsc.from_numpy(xa)
             td = bench(lambda: dfn(xda, out=out).jax)
             tn = bench_host(lambda: nfn(xa))

@@ -71,11 +71,18 @@ BINARY = {'add': add, 'sub': sub, 'mul': mul, 'div': div, 'pow': pow_}
 # ---------------------------------------------------------------------------
 
 
-def _unary(fn):
+def _unary(fn, complex_fn=None):
+    """``complex_fn`` (when given) handles complex inputs via explicit
+    real-arithmetic formulas: XLA's native complex transcendental
+    lowerings WEDGE the axon TPU backend (a complex64 jnp.log at
+    (60, 60000) hangs the compile/execute path deterministically), and
+    the real formulas also fuse better."""
     @jax.jit
     def op(x):
         from . import pallas_map
 
+        if complex_fn is not None and jnp.iscomplexobj(x):
+            return complex_fn(x)
         if pallas_map.eligible((x.shape,), (x.dtype,)):
             return pallas_map.stream_map(fn, x)
         return fn(x)
@@ -83,14 +90,92 @@ def _unary(fn):
     return op
 
 
-cos = _unary(jnp.cos)
-sin = _unary(jnp.sin)
-sinc = _unary(jnp.sinc)
-logn = _unary(jnp.log)
-log2 = _unary(jnp.log2)
-log10 = _unary(jnp.log10)
-exp = _unary(jnp.exp)
-sqrt = _unary(jnp.sqrt)
+def _parts(x):
+    return jnp.real(x), jnp.imag(x)
+
+
+def _clog(x):
+    """log z = 0.5*log(re^2+im^2) + i*atan2(im, re) (reference logn_op
+    complex specialization, dsc_ops.h:147-165)."""
+    re, im = _parts(x)
+    return jax.lax.complex(
+        0.5 * jnp.log(re * re + im * im), jnp.arctan2(im, re)
+    )
+
+
+def _clog_scaled(scale):
+    def f(x):
+        y = _clog(x)
+        return jax.lax.complex(
+            jnp.real(y) * scale, jnp.imag(y) * scale
+        ).astype(x.dtype)
+    return f
+
+
+def _cexp(x):
+    re, im = _parts(x)
+    m = jnp.exp(re)
+    return jax.lax.complex(m * jnp.cos(im), m * jnp.sin(im))
+
+
+def _csqrt(x):
+    """Principal square root via the stable half-angle formulas; branch
+    cut matches NumPy (negative reals with +0 imag map to +i*sqrt(-re))."""
+    re, im = _parts(x)
+    r = jnp.sqrt(re * re + im * im)
+    u_pos = jnp.sqrt((r + re) * 0.5)
+    v_neg = jnp.sqrt(jnp.maximum((r - re) * 0.5, 0.0))
+    tiny = jnp.finfo(re.dtype).tiny
+    s = jnp.where(im < 0, -1.0, 1.0).astype(re.dtype)
+    u = jnp.where(re >= 0, u_pos,
+                  jnp.abs(im) / jnp.maximum(2.0 * v_neg, tiny))
+    v = jnp.where(re >= 0, im / jnp.maximum(2.0 * u_pos, tiny), s * v_neg)
+    zero = r == 0
+    u = jnp.where(zero, 0.0, u)
+    v = jnp.where(zero, 0.0, v)
+    return jax.lax.complex(u, v).astype(x.dtype)
+
+
+def _csin(x):
+    re, im = _parts(x)
+    return jax.lax.complex(jnp.sin(re) * jnp.cosh(im),
+                           jnp.cos(re) * jnp.sinh(im))
+
+
+def _ccos(x):
+    re, im = _parts(x)
+    return jax.lax.complex(jnp.cos(re) * jnp.cosh(im),
+                           -jnp.sin(re) * jnp.sinh(im))
+
+
+def _cdiv(ar, ai, br, bi):
+    d = br * br + bi * bi
+    return (ar * br + ai * bi) / d, (ai * br - ar * bi) / d
+
+
+def _csinc(x):
+    """np.sinc(z) = sin(pi z)/(pi z), sinc(0) = 1."""
+    re, im = _parts(x)
+    pr, pi_ = np.pi * re, np.pi * im
+    sr = jnp.sin(pr) * jnp.cosh(pi_)
+    si = jnp.cos(pr) * jnp.sinh(pi_)
+    qr, qi = _cdiv(sr, si, pr, pi_)
+    zero = (re == 0) & (im == 0)
+    return jax.lax.complex(jnp.where(zero, 1.0, qr),
+                           jnp.where(zero, 0.0, qi)).astype(x.dtype)
+
+
+_LN2 = float(np.log(2.0))
+_LN10 = float(np.log(10.0))
+
+cos = _unary(jnp.cos, _ccos)
+sin = _unary(jnp.sin, _csin)
+sinc = _unary(jnp.sinc, _csinc)
+logn = _unary(jnp.log, _clog)
+log2 = _unary(jnp.log2, _clog_scaled(1.0 / _LN2))
+log10 = _unary(jnp.log10, _clog_scaled(1.0 / _LN10))
+exp = _unary(jnp.exp, _cexp)
+sqrt = _unary(jnp.sqrt, _csqrt)
 conj = _unary(jnp.conj)
 imag_c = _unary(jnp.imag)
 real_c = _unary(jnp.real)
