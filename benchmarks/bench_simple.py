@@ -186,10 +186,14 @@ def size_sweep():
             ('scalar', lambda: dsc.add(x, 1.5, out=out).jax),
             ('bcast', lambda: dsc.add(x, row, out=out).jax),
         ):
+            if have('sweep', op=f'add/{label}', log2n=log2n):
+                cells.append('(kept)')
+                continue
             t = bench(fn, k_base=kb)
             gbs = 3 * ne * 4 / t / 1e9  # 2 reads + 1 write (nominal)
             record(bench='sweep', op=f'add/{label}', log2n=log2n,
                    dsc_s=t, gbs=gbs)
+            dump()
             cells.append(f'{t * 1e6:9.1f}us {gbs:6.1f}GB/s')
         dump()
         print(f'2^{log2n:<8} {cells[0]:>22} {cells[1]:>22} {cells[2]:>22}')
@@ -199,9 +203,12 @@ def size_sweep():
         ne = 2**log2n
         rows = max(ne // 65536, 1)
         x = dsc.randn((rows, ne // rows))
+        if have('sweep', op='sum', log2n=log2n):
+            continue
         t = bench(lambda: dsc.sum(x, axis=-1).jax)
         gbs = ne * 4 / t / 1e9
         record(bench='sweep', op='sum', log2n=log2n, dsc_s=t, gbs=gbs)
+        dump()
         print(f'  2^{log2n:2d} ({ne * 4 / 2**20:8.2f} MiB): '
               f'{t * 1e6:9.1f} us  {gbs:7.1f} GB/s')
 
