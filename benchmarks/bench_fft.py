@@ -61,7 +61,7 @@ def main():
 
         # adaptive op count: small transforms need many pipelined ops for
         # the difference to rise above the tunnel's timing noise
-        kb = max(8, min(256, 2**24 // n))
+        kb = max(8, min(64, 2**24 // n))
         td = bench(lambda: _sync(dsc.fft(xcd)), k_base=kb)
         tn = bench_host(lambda: np.fft.fft(xc))
         tr = bench(lambda: _sync(dsc.rfft(xrd)), k_base=kb)

@@ -166,11 +166,18 @@ def reference_workloads():
 
 
 def size_sweep():
-    """BASELINE config 2: 1 KB - 256 MiB, f32, with broadcasting."""
+    """BASELINE config 2: 1 KB - 256 MiB, f32, with broadcasting.
+
+    DSC_SWEEP_SIZES='16,17' restricts to those log2 sizes: the axon
+    backend wedges downloads after many small mixed-shape dispatches in
+    one process, so a driver can sweep one size per process."""
+    only = os.environ.get('DSC_SWEEP_SIZES')
+    sizes = ([int(s) for s in only.split(',')] if only
+             else list(range(8, 27)))
     print('\n== elementwise size sweep 1 KB - 256 MiB (f32 add) ==')
     print(f'{"size":>10} {"same-shape":>22} {"scalar RHS":>22} '
           f'{"broadcast row":>22}')
-    for log2n in range(8, 27):
+    for log2n in sizes:
         ne = 2**log2n
         rows = max(ne // 4096, 1)
         cols = ne // rows
@@ -179,7 +186,7 @@ def size_sweep():
         row = dsc.randn((1, cols))
         out = dsc.empty((rows, cols))
 
-        kb = max(8, min(512, 2**24 // ne))
+        kb = max(8, min(64, 2**24 // ne))
         cells = []
         for label, fn in (
             ('same', lambda: dsc.add(x, y, out=out).jax),
@@ -199,7 +206,8 @@ def size_sweep():
         print(f'2^{log2n:<8} {cells[0]:>22} {cells[1]:>22} {cells[2]:>22}')
 
     print('\n== reduction size sweep (f32 sum, axis=-1) ==')
-    for log2n in range(12, 27, 2):
+    for log2n in [s for s in (sizes if only else range(12, 27, 2))
+                  if s >= 12]:
         ne = 2**log2n
         rows = max(ne // 65536, 1)
         x = dsc.randn((rows, ne // rows))
