@@ -86,6 +86,17 @@ def main() -> int:
     ok &= check('batched public irfft roundtrip',
                 np.abs(bb.numpy() - xb2).max(), 1e-4)
 
+    # batched grouped streaming: 256-factor split only stream-eligible
+    # with batch (super-row DMA grouping)
+    xg = rng.standard_normal((8, 2**16)).astype(np.float32)
+    sg = dsc.rfft(dsc.from_numpy(xg))
+    refg = np.fft.rfft(xg, axis=-1)
+    ok &= check('grouped batched rfft (8 x 2^16)',
+                np.abs(sg.numpy() - refg).max() / np.abs(refg).max(), 1e-4)
+    bg = dsc.irfft(sg)
+    ok &= check('grouped batched irfft roundtrip',
+                np.abs(bg.numpy() - xg).max(), 1e-4)
+
     # batched streaming kernel
     from dsc_tpu.fourier import pallas_stream as ps
 
