@@ -161,6 +161,24 @@ class TestOps:
                     dtype.__name__,
                 )
 
+    def test_complex_unary_branch_cuts(self):
+        # the complex transcendentals run as explicit real formulas
+        # (XLA's complex lowering wedges the axon TPU backend) — pin the
+        # NumPy branch-cut behavior they must reproduce: negative reals,
+        # pure imaginaries, zero, and the sinc removable singularity
+        pts = np.array(
+            [-1 + 0j, -4 - 0j, 2j, -3j, 0j, 1 + 0j, -2 + 3j, 5 - 1e-3j],
+            dtype=np.complex64,
+        )
+        xd = dsc.from_numpy(pts)
+        for np_op, dsc_op in (
+            (np.sqrt, dsc.sqrt), (np.log, dsc.logn), (np.exp, dsc.exp),
+            (np.sin, dsc.sin), (np.cos, dsc.cos), (np.sinc, dsc.sinc),
+        ):
+            got = dsc_op(xd).numpy()
+            want = np_op(pts)
+            assert all_close(got, want), (np_op.__name__, got, want)
+
     def test_conj_real_views(self):
         # conj/real are NOP views on real tensors (dsc.cpp:1543-1594)
         x = dsc.from_numpy(random_nd([4, 4], np.float32))
