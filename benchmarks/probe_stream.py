@@ -5,12 +5,17 @@ per-phase time goes beyond the DMA bound:
 
   dma    : stream in -> store -> stream out (no compute)
   dft    : + the two stacked-real MXU matmul stages (_dft_slab)
-  twid   : + the four-step twiddle generation + multiply
-  full   : + the final VMEM transpose (== production phase A)
+  twid   : + the factored four-step twiddle generation + multiply
+  full   : + a monolithic (n1, L).T transpose (slow: serializes vs DMA)
+  fblk   : + per-(L, L)-block vreg transposes (production phase A)
+  fmxu   : + exact MXU dot-transpose (3-pass bf16 split vs identity)
 
-plus a pallas_map CHUNK_ROWS sweep on the fma workload.
+plus DMA depth/split variants and a pallas_map CHUNK_ROWS sweep.
 
-Usage: python benchmarks/probe_stream.py [fft|map|all]
+Cross-run drift on this chip is +-30-50%: only compare variants from ONE
+round-robin run (bench_chained_multi).
+
+Usage: python benchmarks/probe_stream.py [fft|dma|map|all]
 """
 
 import functools

@@ -8,21 +8,25 @@ while the MXU does the butterflies:
 
   phase A (per 128-column tile of M = x.reshape(n1, n2)):
       strided DMA  M[:, tile]            -> (n1, 128) VMEM slab
-      column DFT_{n1} on sublanes        (matrix-DFT, two MXU passes)
-      four-step twiddle W_n^{k1*j2}      (generated on the fly, see below)
-      VMEM transpose -> contiguous DMA   Z[j2, k1] intermediate
+      column DFT_{n1} on sublanes        (matrix-DFT, stacked-real MXU)
+      four-step twiddle W_n^{k*(128t+c)} (factored, generated in-kernel)
+      per-(128,128)-block vreg transposes -> contiguous DMA to Z[j2, k1]
   phase B (per 128-column tile of Z):
       strided DMA  Z[:, k1-tile]         -> (n2, 128) VMEM slab
       row DFT_{n2} on sublanes (+ 1/n scale for inverse)
       strided DMA out: slab == X.reshape(n2, n1)[:, k1-tile] directly
       (X[k1 + n1*k2] is contiguous in k1 — the slab layout IS the output)
 
-The inter-stage twiddle T[k1, j2] = exp(-2i*pi*k1*j2/n) is (n1, n2) — as
-big as the data — so it is never materialized: per tile it factors as
-T[k, tile*128+c] = A_t[k] * B[k, c]; BOTH factors are generated in-kernel
-from integer iotas (exact mod-n reduction keeps the f32 trig argument in
-[0, 2pi) so cos/sin stay accurate at n = 2^24). Uploading B instead would
-embed multi-MiB HLO constants and overflow the remote-compile body limit.
+The inter-stage twiddle T[k, j2] = exp(-2i*pi*k*j2/n) is (n1, n2) — as
+big as the data — so it is never materialized: per tile it FACTORS over
+k = k2*r1 + k1 into two (r, 128) lane-packed tables U_t, V_t, both
+generated in-kernel from integer iotas (i32 wraparound is exact for
+power-of-two n; negative residues shift angles by -2pi, invisible to
+cos/sin). Uploading tables instead would embed multi-MiB HLO constants
+and overflow the remote-compile body limit (HTTP 413).
+
+Batched rows group up to FACTOR_MAX/n_factor consecutive transforms per
+DMA (_group) so small-factor batched transforms keep >= 2 MiB copies.
 
 Inverse transforms use sign-flipped tables (not the conj sandwich — a
 conjugation at this size is an extra HBM pass); rfft streams a real-only
@@ -32,11 +36,12 @@ real output plane.
 Reference parity: this is the performance path for dsc_fft/dsc_rfft at
 large n (reference dsc.cpp:1955-2340); the XLA four-step path
 (core.fft_apply_p) remains the reference numerics and the fallback for
-batched/odd-size/CPU cases.
+odd-size/CPU cases.
 
-Mosaic/axon constraints honored (see memory notes): gridless kernels,
-fori_loop with i32 bounds, pl.multiple_of hints on DMA offsets, 128-lane
-tiles, split-bf16 three-pass matmuls (_dot3).
+Mosaic/axon constraints honored (see memory notes + PERF.md): gridless
+kernels, fori_loop with i32 bounds, pl.multiple_of hints on DMA offsets,
+128-lane tiles, split-bf16 three-pass matmuls (_mm), static buffer sets
+(_pipe2), block (not monolithic) transposes.
 """
 
 from __future__ import annotations
