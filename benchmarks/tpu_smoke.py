@@ -121,6 +121,13 @@ def main() -> int:
     got = np.asarray(pm.stream_map(jnp.multiply, a, np.float32(3.0)))
     ok &= check('pallas_map scalar + remainder',
                 float(np.abs(got - a * 3).max()), 1e-6)
+    # the reference grid shape: 28125 rows of 128, 1469-row non-8-aligned
+    # remainder tile
+    a2 = rng.standard_normal((60, 60000)).astype(np.float32)
+    b2 = rng.standard_normal((60, 60000)).astype(np.float32)
+    got2 = np.asarray(pm.stream_map(jnp.add, jnp.asarray(a2), jnp.asarray(b2)))
+    ok &= check('pallas_map non-8-aligned remainder (60,60000)',
+                float(np.abs(got2 - (a2 + b2)).max()), 1e-6)
     ar, ai, br, bi = (rng.standard_normal(2**22).astype(np.float32)
                       for _ in range(4))
     gr, gi = pm.stream_map_multi(

@@ -176,14 +176,17 @@ def _interpret() -> bool:
 
 def eligible(shapes, dtypes) -> bool:
     """Streamable: f32, every operand either full-shape or 1-element, the
-    full shape contiguous with a multiple-of-1024 element count >= 8 MiB."""
+    full shape contiguous with a multiple-of-128 element count >= 8 MiB.
+    (Non-8-aligned remainder rows verified exact on hardware — DMAs are
+    sublane-granular, so e.g. the (60, 60000) reference grid shape with
+    its 1469-row tail streams too.)"""
     if MODE == 'off':
         return False
     full = [tuple(s) for s in shapes if int(np.prod(s) if s else 1) != 1]
     if not full or len({s for s in full}) != 1:
         return False
     ne = int(np.prod(full[0]))
-    if ne < MIN_ELEMS or ne % (8 * LANES):
+    if ne < MIN_ELEMS or ne % LANES:
         return False
     if any(np.dtype(d) != np.dtype(np.float32) for d in dtypes):
         return False
