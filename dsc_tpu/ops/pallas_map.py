@@ -5,12 +5,14 @@ over 256 MiB while double-buffered DMA through VMEM streams at ~790 GB/s
 (97% of HBM peak) — see benchmarks/PERF.md. Since the dsc op layer is
 eager (one op = one device pass, mirroring the reference's per-op kernel
 dispatch, dsc.cpp:1186-1442), each big elementwise op can ride DMA speed:
-this kernel streams chunk-sized tiles HBM->VMEM->HBM with two in-flight
-buffers per operand and applies the op on the VPU in between.
+this kernel streams chunk-sized tiles HBM->VMEM->HBM with DEPTH static
+buffer sets per operand (4-deep measured best) and applies the op on the
+VPU in between.
 
 Round-2 extensions (VERDICT r1 weak #4: eligibility was razor-thin):
-- any element count that is a multiple of 1024 (odd tail handled by a
-  statically-emitted remainder chunk after the pipelined main loop)
+- any element count that is a multiple of 128 (odd tail handled by a
+  statically-emitted remainder chunk after the pipelined main loop;
+  non-8-aligned remainder rows verified exact on hardware)
 - scalar (1-element) operands ride in SMEM, so tensor-op-scalar ops and
   the reversed orientations stream too
 - multiple outputs, so planar complex arithmetic (planar.py: 4 planes in,
@@ -37,9 +39,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-# (2048, 128) f32 = 1 MiB per buffer per operand. Measured best on v5e
-# (benchmarks/probe_stream.py chain sweep: 2048 > 4096 > 8192); smaller
-# tiles keep more DMAs in flight per buffer set.
+# (2048, 128) f32 = 1 MiB per buffer per operand (measured best on v5e
+# round-robin, benchmarks/probe_stream.py)
 CHUNK_ROWS = 2048
 
 # elements below this take the XLA path (kernel overhead dominates)
@@ -49,16 +50,22 @@ MIN_ELEMS = 2**21  # 8 MiB f32
 # 'off' disables (escape hatch, SURVEY §5.6-style knob)
 MODE = os.environ.get('DSC_MAP_STREAM', 'auto')
 
+# software-pipeline depth (static buffer sets). 4-deep beats double
+# buffering by ~15-20% on v5e (fma 256 MiB: ~580 -> ~680 GB/s, same-run
+# round-robin A/B) — more in-flight 1-MiB DMAs hide per-tile latency.
+DEPTH = max(2, int(os.environ.get('DSC_MAP_DEPTH', '4')))
+
 
 def _ds0(size):
     return pl.ds(jnp.int32(0), size)
 
 
-def _map_kernel(fn, n_stream, n_scalar, n_out, rows, rem_rows, *refs):
+def _map_kernel(fn, n_stream, n_scalar, n_out, rows, rem_rows, depth, *refs):
     """refs = streamed HBM inputs, scalar SMEM inputs, HBM outputs.
 
     ``fn`` takes (streamed slabs..., scalar values...) IN THAT ORDER and
     returns n_out arrays; the caller reorders operands beforehand.
+    ``depth`` static buffer sets software-pipeline the tile loop.
     """
     ins = refs[:n_stream]
     scalars = refs[n_stream:n_stream + n_scalar]
@@ -69,10 +76,13 @@ def _map_kernel(fn, n_stream, n_scalar, n_out, rows, rem_rows, *refs):
     def body(*scratch):
         # separate per-set buffers: static refs keep Mosaic's memory
         # disambiguation happy so DMA overlaps compute
-        bufs = (scratch[:n_stream], scratch[n_stream:2 * n_stream])
-        obufs = (
-            scratch[2 * n_stream:2 * n_stream + n_out],
-            scratch[2 * n_stream + n_out:2 * n_stream + 2 * n_out],
+        bufs = tuple(
+            scratch[d * n_stream:(d + 1) * n_stream] for d in range(depth)
+        )
+        ob0 = depth * n_stream
+        obufs = tuple(
+            scratch[ob0 + d * n_out:ob0 + (d + 1) * n_out]
+            for d in range(depth)
         )
         in_sems, out_sems = scratch[-2], scratch[-1]
         svals = [s[0] for s in scalars]
@@ -108,9 +118,9 @@ def _map_kernel(fn, n_stream, n_scalar, n_out, rows, rem_rows, *refs):
             if n_out == 1 and not isinstance(ys, (tuple, list)):
                 ys = (ys,)
 
-            @pl.when(t >= 2)
+            @pl.when(t >= depth)
             def _():
-                for cp in out_dma(s, t - 2):
+                for cp in out_dma(s, t - depth):
                     cp.wait()
 
             for j in range(n_out):
@@ -137,22 +147,37 @@ def _map_kernel(fn, n_stream, n_scalar, n_out, rows, rem_rows, *refs):
             for cp in out_dma(s, tt, r=r, row0=row0):
                 cp.wait()
 
-        if n_full:
-            from dsc_tpu.fourier.pallas_stream import _pipe2
+        n_piped = n_full - (n_full % depth)
+        if n_piped:
+            # depth-deep static software pipeline (same static-buffer-set
+            # trick as fourier.pallas_stream._pipe2, generalized)
+            for p in range(depth - 1):
+                for cp in in_dma(p, jnp.int32(p)):
+                    cp.start()
 
-            n_piped = n_full if n_full % 2 == 0 else n_full - 1
-            if n_piped:
-                _pipe2(
-                    n_piped,
-                    lambda s, t: [cp.start() for cp in in_dma(s, t)],
-                    lambda s, t: [cp.wait() for cp in in_dma(s, t)],
-                    step,
-                    lambda s, t: [cp.wait() for cp in out_dma(s, t)],
-                )
-            if n_full % 2:
-                # odd chunk count: one static tile after the drained loop
-                t = n_full - 1
-                static_tile(t % 2, jnp.int32(t), rows, None)
+            def loop_body(i, carry):
+                for s in range(depth):
+                    t = depth * i + s
+
+                    @pl.when(t + depth - 1 < n_piped)
+                    def _():
+                        for cp in in_dma((s + depth - 1) % depth,
+                                         t + (depth - 1)):
+                            cp.start()
+
+                    for cp in in_dma(s, t):
+                        cp.wait()
+                    step(s, t)
+                return carry
+
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_piped // depth),
+                              loop_body, jnp.int32(0))
+            for tt in range(max(n_piped - depth, 0), n_piped):
+                for cp in out_dma(tt % depth, jnp.int32(tt)):
+                    cp.wait()
+        # leftover full tiles (< depth of them): serialized static tiles
+        for t in range(n_piped, n_full):
+            static_tile(t % depth, jnp.int32(t), rows, None)
 
         if rem_rows:
             # statically-emitted remainder chunk (different DMA shape)
@@ -160,12 +185,12 @@ def _map_kernel(fn, n_stream, n_scalar, n_out, rows, rem_rows, *refs):
                         pl.multiple_of(jnp.int32(n_full * rows), 8))
 
     scratch = (
-        [pltpu.VMEM((rows, LANES), ins[j].dtype) for j in range(n_stream)]
-        + [pltpu.VMEM((rows, LANES), ins[j].dtype) for j in range(n_stream)]
-        + [pltpu.VMEM((rows, LANES), outs[j].dtype) for j in range(n_out)]
-        + [pltpu.VMEM((rows, LANES), outs[j].dtype) for j in range(n_out)]
-        + [pltpu.SemaphoreType.DMA((2, n_stream)),
-           pltpu.SemaphoreType.DMA((2, n_out))]
+        [pltpu.VMEM((rows, LANES), ins[j].dtype)
+         for _ in range(depth) for j in range(n_stream)]
+        + [pltpu.VMEM((rows, LANES), outs[j].dtype)
+           for _ in range(depth) for j in range(n_out)]
+        + [pltpu.SemaphoreType.DMA((depth, n_stream)),
+           pltpu.SemaphoreType.DMA((depth, n_out))]
     )
     pl.run_scoped(body, *scratch)
 
@@ -238,7 +263,7 @@ def stream_map_multi(
     outs = pl.pallas_call(
         functools.partial(
             _map_kernel, kfn, len(streamed), len(scalars), n_out, rows,
-            rem_rows,
+            rem_rows, DEPTH,
         ),
         in_specs=[anyspec] * len(streamed) + [smem] * len(scalars),
         out_specs=tuple([anyspec] * n_out),
