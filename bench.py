@@ -4,19 +4,22 @@ Measures on the default backend (the real TPU chip under the driver):
   - 1-D rfft/irfft of 2^24 float32 (GFLOP/s via 2.5*N*log2(N), the same
     formula the reference uses, benchmarks/python/bench_fft.py:32-78)
   - 2^24-point complex fft (5*N*log2(N))
-  - elementwise fma / exp bandwidth (GB/s) at 256 MiB
+  - elementwise fma / sin bandwidth (GB/s) at 256 MiB
   - accuracy of the 2^24 rfft vs np.fft (north-star bound: 1e-4)
 
-Timing methodology: the axon TPU tunnel adds ~30 ms of fixed latency to
-EVERY dispatch, so per-call wall timing is useless. Each op is iterated
-as a straight-line chain of K dependent calls inside one jit, and per-op
-time = (t(2K) - t(K)) / K — constant dispatch overhead cancels exactly.
-A chain (not lax.fori_loop): a while-loop body's output must land in the
-carry buffer, which a pallas custom call cannot alias, so XLA inserts a
-full HBM copy of the output every iteration — measured +2 passes (e.g. fma
-256 MiB read 394 GB/s looped vs ~700+ chained, probe_stream.py). The
-eager public API writes a fresh output buffer exactly like the chain
-does, so chained timing is the faithful per-op cost.
+Timing methodology: the axon TPU tunnel adds ~30 ms of fixed latency to a
+dispatch+sync, but eager dispatches PIPELINE (measured: k chained 256-MiB
+eager adds cost 31.7 + 1.3*(k-1) ms), so each op is issued k times
+through the PUBLIC eager API and differenced: per-op = (t(2k) - t(k))/k.
+Each timed region ends with a 1-element device->host read — on this
+backend block_until_ready alone returns before side-effecting pallas
+programs finish; the constant ~30 ms drain cancels in the difference
+(benchmarks/PERF.md "the tunnel lies twice").
+
+Eager (not jit-chained) measurement keeps compile load minimal: the
+accuracy phase compiles the public rfft/irfft programs and every timing
+loop reuses them — remote compiles have taken 40-475 s for the same
+program on different days, so each avoided compile matters.
 
 vs_baseline = dsc rfft GFLOP/s / NumPy rfft GFLOP/s on this host — the
 reference's own positioning metric ("NumPy is X.XX x faster",
@@ -37,34 +40,43 @@ K_BASE = 8
 REPS = 5
 
 
-def _time(fn) -> float:
-    import jax
+def _drain(t) -> None:
+    """1-element real download of a Tensor/array: forces a true device
+    queue drain (block_until_ready lies for side-effecting pallas)."""
+    import jax.numpy as jnp
 
-    jax.block_until_ready(fn())  # warm
-    best = float('inf')
-    for _ in range(REPS):
+    pp = getattr(t, '_planar', None)
+    leaf = pp.re if pp is not None else getattr(t, 'jax', t)
+    x = leaf.ravel()[:1]
+    if np.issubdtype(np.dtype(x.dtype), np.complexfloating):
+        x = jnp.real(x)
+    np.asarray(x)
+
+
+def bench_eager(step, state, k_base: int = K_BASE) -> float:
+    """Marginal per-op time of the eager public-API op ``state = step(state)``
+    via pipelined-dispatch differencing; median of paired samples. The
+    DEPENDENT feedback chain rules out any same-arguments execution
+    caching in the runtime."""
+    _drain(step(state))  # warm + establish the d2h sync path
+    state = step(state)
+    _drain(state)
+
+    def t(k: int, s):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
-def bench_looped(step, state, k_base: int = K_BASE) -> float:
-    """Per-iteration device time of ``state = step(state)`` via the
-    two-count differencing trick over straight-line chains."""
-    import functools
-
-    import jax
-
-    @functools.partial(jax.jit, static_argnames=('k',))
-    def chain(s, k):
         for _ in range(k):
             s = step(s)
-        return s
+        _drain(s)
+        return time.perf_counter() - t0, s
 
-    t1 = _time(lambda: chain(state, k=k_base))
-    t2 = _time(lambda: chain(state, k=2 * k_base))
-    return max((t2 - t1) / k_base, 1e-9)
+    _, state = t(k_base, state)  # pair-priming throwaway
+    samples = []
+    for _ in range(REPS):
+        t1, state = t(k_base, state)
+        t2, state = t(2 * k_base, state)
+        samples.append((t2 - t1) / k_base)
+    samples.sort()
+    return max(samples[len(samples) // 2], 1e-9)
 
 
 def bench_host(fn) -> float:
@@ -81,8 +93,6 @@ def main() -> None:
     import jax
 
     import dsc_tpu as dsc
-    from dsc_tpu.fourier import core as fft_core
-    from dsc_tpu.fourier import plan as fft_plan
 
     dsc.init(int(8 * 2**30))
     backend = jax.default_backend()
@@ -94,7 +104,7 @@ def main() -> None:
     x_np = rng.standard_normal(n).astype(np.float32)
     x = dsc.from_numpy(x_np)
 
-    # ---- accuracy (also compiles + warms the plan) ------------------------
+    # ---- accuracy (also compiles + warms every public program used below)
     t0 = time.perf_counter()
     spec_t = dsc.rfft(x)
     spec_np = spec_t.numpy()
@@ -106,64 +116,33 @@ def main() -> None:
     print(f'# rfft 2^24 rel err vs NumPy: {rfft_err:.3e} (bound 1e-4) | '
           f'irfft roundtrip abs err: {irfft_err:.3e}', file=sys.stderr)
 
-    # ---- rfft/irfft throughput (roundtrip chain; 2 transforms per iter) ---
-    # This measures the PUBLIC path: dsc.rfft / dsc.irfft on this shape
-    # call exactly core.rfft_stream_full / core.irfft_stream_from_full and
-    # nothing else device-side — the Tensor boundary is planar (planar.py),
-    # so there is no complex64 materialization or spectrum slice left
-    # outside these two jitted calls (verified by test_planar.py and the
-    # accuracy check above, which runs the real public API).
-    spec = fft_plan.build_spec(n)
-    n1, n2 = spec[1], spec[2]
-
-    def rt_step(v):
-        fr, fi = fft_core.rfft_stream_full(v, n1, n2)
-        return fft_core.irfft_stream_from_full(fr, fi, n1, n2)
-
-    t_pair = bench_looped(rt_step, x.jax.reshape(n))
+    # ---- rfft/irfft roundtrip (public API; 2 transforms per op) ----------
+    t_pair = bench_eager(lambda v: dsc.irfft(dsc.rfft(v)), x)
     t_rfft = t_pair / 2  # rfft and irfft are flop/byte-symmetric here
     flops_r = 2.5 * n * logn
     gflops_rfft = flops_r / t_rfft / 1e9
 
-    # ---- complex fft 2^24 (planar in/out) ----------------------------------
-    import jax.numpy as jnp
-
-    def cfft_step(c):
-        # fwd then inv: values stay bounded with no extra scaling pass
-        # (the inverse's 1/n is applied inside the kernel for free);
-        # fft_stream_planar is the public dsc.fft/ifft device computation
-        vr, vi = c
-        yr, yi = fft_core.fft_stream_planar(vr, vi, n1, n2, False)
-        return fft_core.fft_stream_planar(yr, yi, n1, n2, True)
-
-    cx0 = x.jax.reshape(n)
-    t_fft = bench_looped(cfft_step, (cx0, cx0 * np.float32(0.5))) / 2
+    # ---- complex fft 2^24 (public API, planar tensors) -------------------
+    # dsc.fft of the real input yields a FULL-logical-length planar C32
+    # tensor, so the fft/ifft chain below stays on the planar fast path
+    # (a hermitian-full rfft result has physical_ne != ne and would
+    # materialize dense complex at the boundary instead)
+    xc = dsc.fft(x)
+    t_fft = bench_eager(lambda z: dsc.ifft(dsc.fft(z)), xc) / 2
     gflops_fft = 5.0 * n * logn / t_fft / 1e9
 
-    # ---- elementwise bandwidth (through the dsc op layer, which routes
-    # large f32 ops to the DMA-streaming kernel, ops/pallas_map.py) --------
-    from dsc_tpu.ops import kernels as ops_kernels
-
+    # ---- elementwise bandwidth (public API, streaming map kernel) --------
     ne = 2**26  # 256 MiB f32
     a = dsc.from_numpy(rng.standard_normal(ne).astype(np.float32))
     b = dsc.from_numpy(rng.standard_normal(ne).astype(np.float32))
 
-    # b rides the loop carry: a device array CLOSED OVER inside jit is
-    # serialized as an HLO constant, and 256 MiB of literal overflows the
-    # tunnel's compile-request body limit (HTTP 413)
-    def add_step(c):
-        v, w = c
-        # v grows by ~N(0,1) per iteration — bounded over the trip counts
-        return ops_kernels.add(v, w, np.float32), w
-
-    t_fma = bench_looped(add_step, (a.jax, b.jax))
+    t_fma = bench_eager(lambda v: dsc.add(v, b), a)
     gbs_fma = 3 * ne * 4 / t_fma / 1e9  # 2 reads + 1 write
 
-    # sin keeps the fed-back loop state bounded (exp would diverge)
-    t_exp = bench_looped(lambda v: ops_kernels.sin(v), a.jax)
-    gbs_exp = 2 * ne * 4 / t_exp / 1e9
+    t_sin = bench_eager(lambda v: dsc.sin(v), a)
+    gbs_sin = 2 * ne * 4 / t_sin / 1e9
 
-    # ---- NumPy baseline on this host ----------------------------------------
+    # ---- NumPy baseline on this host -------------------------------------
     t_np = bench_host(lambda: np.fft.rfft(x_np))
     gflops_np = flops_r / t_np / 1e9
 
@@ -172,7 +151,7 @@ def main() -> None:
         f'{gflops_rfft:8.1f} GFLOP/s\n'
         f'# cfft  2^24: {t_fft*1e3:8.2f} ms  {gflops_fft:8.1f} GFLOP/s\n'
         f'# fma  256MB: {t_fma*1e3:8.2f} ms  {gbs_fma:8.1f} GB/s\n'
-        f'# sin  256MB: {t_exp*1e3:8.2f} ms  {gbs_exp:8.1f} GB/s\n'
+        f'# sin  256MB: {t_sin*1e3:8.2f} ms  {gbs_sin:8.1f} GB/s\n'
         f'# numpy rfft: {t_np*1e3:8.2f} ms  {gflops_np:8.1f} GFLOP/s',
         file=sys.stderr,
     )
