@@ -226,14 +226,20 @@ def main() -> None:
             )
             out, _ = proc.communicate(timeout=remaining - 60)
             vals = json.loads(out.strip().splitlines()[-1])
-            tc_rfft = vals['t_pair'] / 2
-            if tc_rfft < t_rfft:
-                t_rfft = tc_rfft
-                gflops_rfft = flops_r / t_rfft / 1e9
-            if vals['t_fma'] < t_fma:
-                t_fma = vals['t_fma']
-                gbs_fma = 3 * ne * 4 / t_fma / 1e9
-            print('# chain upgrade: applied', file=sys.stderr)
+            # one consistent methodology for the headline: when the chain
+            # run completes, its jitted device time IS the number (the
+            # eager figure additionally pays ~0.4 ms/op of remote-tunnel
+            # client dispatch a local caller would not); both figures go
+            # to stderr so neither measurement is hidden
+            print(f'# eager marginals (tunnel): rfft '
+                  f'{t_rfft*1e3:.2f} ms, fma {t_fma*1e3:.2f} ms',
+                  file=sys.stderr)
+            t_rfft = vals['t_pair'] / 2
+            gflops_rfft = flops_r / t_rfft / 1e9
+            t_fma = vals['t_fma']
+            gbs_fma = 3 * ne * 4 / t_fma / 1e9
+            print('# chain upgrade: applied (headline = jit-chain device '
+                  'time)', file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — timeout/wedge: keep eager
             if proc is not None:
                 try:

@@ -12,10 +12,13 @@ Mosaic-specific failure modes — and fail-fasts on any accuracy miss:
   - STFT model forward
 
 Run:  cd /root/repo && python benchmarks/tpu_smoke.py
-Takes a few minutes of remote compiles on first run. Results recorded in
-benchmarks/PERF.md per round.
+Takes a few minutes of remote compiles on first run. Results land in
+benchmarks/smoke_results.json ({check, err, bound, ok, backend, ts} per
+row — machine-checkable per round, VERDICT r2 item 6) and are summarized
+in benchmarks/PERF.md.
 """
 
+import json
 import os
 import sys
 import time
@@ -23,6 +26,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+RESULTS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            'smoke_results.json')
 
 
 def main() -> int:
@@ -37,11 +43,22 @@ def main() -> int:
     dsc.init(int(2**32))
     rng = np.random.default_rng(0)
     t_start = time.time()
+    backend = jax.default_backend()
+    rows = []
 
     def check(name, err, bound):
-        status = 'ok' if err < bound else 'FAIL'
+        good = bool(err < bound)
+        status = 'ok' if good else 'FAIL'
         print(f'  {name:<44} {err:9.2e} (bound {bound:g}) {status}')
-        return err < bound
+        rows.append({
+            'check': name,
+            'err': float(err),
+            'bound': float(bound),
+            'ok': good,
+            'backend': backend,
+            'ts': time.strftime('%Y-%m-%dT%H:%M:%S%z'),
+        })
+        return good
 
     ok = True
 
@@ -138,6 +155,46 @@ def main() -> int:
                 max(np.abs(np.asarray(gr) - w.real).max(),
                     np.abs(np.asarray(gi) - w.imag).max()), 1e-5)
 
+    # complex pow on-chip: runs as exp(b*log a) on real planes — the one
+    # dsc_ops.h specialization previously untested on TPU (VERDICT r2
+    # item 4); must never touch XLA's native complex transcendental
+    # lowering (which wedges this backend)
+    zc = (rng.standard_normal((60, 6000))
+          + 1j * rng.standard_normal((60, 6000))).astype(np.complex64)
+    pw = dsc.power(dsc.from_numpy(zc), 2.5)
+    refp = zc ** np.complex64(2.5)
+    ok &= check('complex pow (real-formula planes, c32)',
+                np.abs(pw.numpy() - refp).max() / np.abs(refp).max(), 1e-4)
+
+    # plan-cache LRU eviction with LARGE (2^18-size) plans: the streaming
+    # path generates tables in-kernel and never touches the cache, so
+    # force the dense XLA path (STREAM_MODE off) — a deliberately tiny
+    # cache then evicts/rebuilds multi-MiB twiddle sets on-chip
+    # (VERDICT r2 item 6)
+    from dsc_tpu.fourier import config as fft_config
+    from dsc_tpu.fourier import plan as fft_plan
+
+    old_cap, old_mode = fft_plan.MAX_FFT_PLANS, fft_config.STREAM_MODE
+    fft_plan.MAX_FFT_PLANS = 2
+    fft_config.STREAM_MODE = 'off'
+    try:
+        xs18 = rng.standard_normal(2**18).astype(np.float32)
+        ref18 = np.fft.rfft(xs18)
+        e1 = (np.abs(dsc.rfft(dsc.from_numpy(xs18)).numpy() - ref18).max()
+              / np.abs(ref18).max())
+        xs19 = rng.standard_normal(2**19).astype(np.float32)
+        _ = dsc.rfft(dsc.from_numpy(xs19))     # second big plan
+        dsc.plan_fft(4096, dsc.Dtype.F32)      # evicts the 2^18 plan
+        dsc.plan_fft(8192, dsc.Dtype.F32)      # evicts the 2^19 plan
+        e2 = (np.abs(dsc.rfft(dsc.from_numpy(xs18)).numpy() - ref18).max()
+              / np.abs(ref18).max())           # rebuild after eviction
+        assert fft_plan.num_plans() <= 2
+        ok &= check('plan-cache eviction w/ 2^18-sized plans (dense path)',
+                    max(e1, e2), 1e-4)
+    finally:
+        fft_plan.MAX_FFT_PLANS = old_cap
+        fft_config.STREAM_MODE = old_mode
+
     # small-n paths: base Pallas kernel + untangle rfft; fft/ifft roundtrip
     xs = rng.standard_normal(4096).astype(np.float32)
     specs = dsc.rfft(dsc.from_numpy(xs))
@@ -160,8 +217,14 @@ def main() -> int:
     ok &= check('STFT forward (finite, shaped)',
                 0.0 if np.isfinite(S.numpy()).all() else 1.0, 0.5)
 
+    with open(RESULTS_PATH, 'w') as f:
+        json.dump({'ok': bool(ok), 'n_checks': len(rows),
+                   'backend': backend,
+                   'elapsed_s': round(time.time() - t_start, 1),
+                   'checks': rows}, f, indent=1)
     print(f'TPU smoke: {"ALL OK" if ok else "FAILURES"} '
-          f'({time.time() - t_start:.0f}s, backend={jax.default_backend()})')
+          f'({time.time() - t_start:.0f}s, backend={jax.default_backend()}) '
+          f'-> {RESULTS_PATH}')
     return 0 if ok else 1
 
 

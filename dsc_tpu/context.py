@@ -33,14 +33,16 @@ jax.config.update('jax_enable_x64', True)
 # Persistent compilation cache: a single remote compile of the same
 # program has taken 40s-10min depending on the compile service's mood;
 # the on-disk executable cache turns repeat compiles into ~2s loads
-# across processes (measured). DSC_JAX_CACHE=0 disables; any other value
-# overrides the location (default: <repo>/.jax_cache).
+# across processes (measured). DSC_JAX_CACHE=0 (or empty) disables; any
+# other value overrides the location (default: <repo>/.jax_cache). An
+# embedding application's own cache configuration wins: if
+# jax_compilation_cache_dir is already set, we leave it alone.
 _cache_dir = os.environ.get(
     'DSC_JAX_CACHE',
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                  '.jax_cache'),
 )
-if _cache_dir != '0':
+if _cache_dir not in ('', '0') and not jax.config.jax_compilation_cache_dir:
     jax.config.update('jax_compilation_cache_dir', _cache_dir)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 

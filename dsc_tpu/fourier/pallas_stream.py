@@ -82,11 +82,14 @@ def _group(batch: int, nf: int) -> int:
 def supported(n1: int, n2: int, dtype, batch: int = 1) -> bool:
     if np.dtype(dtype) != np.complex64:
         return False
-    # batch==1 keeps the 512 floor (tiny tiles are DMA-latency-bound);
-    # batched transforms amortize via super-row grouping (_group)
-    fmin = FACTOR_MIN if batch == 1 else 256
     for f in (n1, n2):
-        if not (fmin <= f <= FACTOR_MAX) or f & (f - 1):
+        if not (256 <= f <= FACTOR_MAX) or f & (f - 1):
+            return False
+        # small factors are DMA-latency-bound unless batch grouping can
+        # actually reach a >= FACTOR_MIN slab per copy (a batch sharing no
+        # divisor with FACTOR_MAX//f degrades _group to 1 — e.g. batch=17
+        # at 256x256 — and must take the XLA fallback instead)
+        if _group(batch, f) * f < FACTOR_MIN:
             return False
     return n1 % LANES == 0 and n2 % LANES == 0
 

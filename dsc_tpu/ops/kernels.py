@@ -53,11 +53,34 @@ mul = _binary(jnp.multiply)
 div = _binary(jnp.true_divide)
 
 
+def _cpow_planes(ar, ai, br, bi):
+    """pow on real planes: a^b = exp(b * log a) (reference pow_op,
+    dsc_ops.h:305-316). Explicit real formulas — XLA's native complex
+    transcendental lowering wedges the axon TPU backend (see _unary)."""
+    lr = 0.5 * jnp.log(ar * ar + ai * ai)
+    li = jnp.arctan2(ai, ar)
+    er = br * lr - bi * li
+    ei = br * li + bi * lr
+    m = jnp.exp(er)
+    return m * jnp.cos(ei), m * jnp.sin(ei)
+
+
+def _cpow(a, b):
+    yr, yi = _cpow_planes(jnp.real(a), jnp.imag(a),
+                          jnp.real(b), jnp.imag(b))
+    return jax.lax.complex(yr, yi).astype(a.dtype)
+
+
 def _pow_plain():
-    # pow stays on the XLA path: lax.pow has no Mosaic lowering
+    # real pow stays on the XLA path (lax.pow has no Mosaic lowering);
+    # complex pow takes the real-formula route (_cpow)
     @partial(jax.jit, static_argnames=('out_dtype',))
     def op(a, b, out_dtype):
-        return jnp.power(a.astype(out_dtype), b.astype(out_dtype))
+        a = a.astype(out_dtype)
+        b = b.astype(out_dtype)
+        if jnp.iscomplexobj(a):
+            return _cpow(a, b)
+        return jnp.power(a, b)
 
     return op
 
@@ -96,7 +119,12 @@ def _parts(x):
 
 def _clog(x):
     """log z = 0.5*log(re^2+im^2) + i*atan2(im, re) (reference logn_op
-    complex specialization, dsc_ops.h:147-165)."""
+    complex specialization, dsc_ops.h:147-165).
+
+    re*re+im*im deliberately matches the reference's naive formula; it
+    over/underflows for |z| outside ~[1e-23, 1.8e19] f32 where NumPy's
+    hypot-based path stays finite — accepted reference-parity behavior
+    (tests only exercise O(1) magnitudes, test_ops.py:32-35)."""
     re, im = _parts(x)
     return jax.lax.complex(
         0.5 * jnp.log(re * re + im * im), jnp.arctan2(im, re)
@@ -120,13 +148,16 @@ def _cexp(x):
 
 def _csqrt(x):
     """Principal square root via the stable half-angle formulas; branch
-    cut matches NumPy (negative reals with +0 imag map to +i*sqrt(-re))."""
+    cut matches NumPy (negative reals with +0 imag map to +i*sqrt(-re),
+    and with -0 imag to -i*sqrt(-re) — signbit, not im<0, so negative
+    zero picks the lower branch like np.sqrt does). The re*re+im*im
+    magnitude matches the reference's naive formula (see _clog)."""
     re, im = _parts(x)
     r = jnp.sqrt(re * re + im * im)
     u_pos = jnp.sqrt((r + re) * 0.5)
     v_neg = jnp.sqrt(jnp.maximum((r - re) * 0.5, 0.0))
     tiny = jnp.finfo(re.dtype).tiny
-    s = jnp.where(im < 0, -1.0, 1.0).astype(re.dtype)
+    s = jnp.where(jnp.signbit(im), -1.0, 1.0).astype(re.dtype)
     u = jnp.where(re >= 0, u_pos,
                   jnp.abs(im) / jnp.maximum(2.0 * v_neg, tiny))
     v = jnp.where(re >= 0, im / jnp.maximum(2.0 * u_pos, tiny), s * v_neg)

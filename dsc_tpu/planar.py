@@ -139,7 +139,18 @@ def _complex_math(ar, ai, br, bi, name):
     if name == 'div':
         d = br * br + bi * bi
         return (ar * br + ai * bi) / d, (ai * br - ar * bi) / d
+    if name == 'pow':
+        from .ops.kernels import _cpow_planes
+
+        return _cpow_planes(ar, ai, br, bi)
     raise AssertionError(name)
+
+
+def _herm_preserved(name: str) -> bool:
+    """Ops that keep the hermitian mirror property of both-hermitian
+    operands. pow does not: log's branch cut breaks conj(x)^s ==
+    conj(x^s) for negative-real spectrum values."""
+    return name in ('add', 'sub', 'mul', 'div')
 
 
 @partial(jax.jit, static_argnames=('name',))
@@ -148,7 +159,10 @@ def _pp_jit(ar, ai, br, bi, *, name):
 
     shapes = (ar.shape, ai.shape, br.shape, bi.shape)
     dtypes = (ar.dtype, ai.dtype, br.dtype, bi.dtype)
-    if pallas_map.eligible(shapes, dtypes):
+    if _herm_preserved(name) and pallas_map.eligible(shapes, dtypes):
+        # pow is excluded: its formula needs atan2, which has no proven
+        # Mosaic lowering on this backend; the XLA real-formula path below
+        # is still wedge-safe (no native complex transcendentals)
         # 4 planes in, 2 out: DMA-streamed (~2x XLA's fused-loop BW)
         return pallas_map.stream_map_multi(
             lambda a, b, c, d: _complex_math(a, b, c, d, name),
@@ -165,7 +179,8 @@ def binary_pp(name: str, a: Planar, b: Planar) -> Optional[Planar]:
     if a.re.dtype != b.re.dtype:
         return None
     yr, yi = _pp_jit(a.re, a.im, b.re, b.im, name=name)
-    return Planar(yr, yi, a.shape, hermitian=a.hermitian and b.hermitian)
+    herm = a.hermitian and b.hermitian and _herm_preserved(name)
+    return Planar(yr, yi, a.shape, hermitian=herm)
 
 
 def binary_ps(name: str, a: Planar, s: complex, reverse: bool) -> Planar:
@@ -177,7 +192,7 @@ def binary_ps(name: str, a: Planar, s: complex, reverse: bool) -> Planar:
         yr, yi = _sp_jit(br, bi, a.re, a.im, name=name)
     else:
         yr, yi = _pp_jit(a.re, a.im, br, bi, name=name)
-    herm = a.hermitian and s.imag == 0
+    herm = a.hermitian and s.imag == 0 and _herm_preserved(name)
     return Planar(yr, yi, a.shape, hermitian=herm)
 
 
@@ -188,7 +203,7 @@ def _sp_jit(sr, si, ar, ai, *, name):
 
     shapes = ((), (), ar.shape, ai.shape)
     dtypes = (ar.dtype,) * 4
-    if pallas_map.eligible(shapes, dtypes):
+    if _herm_preserved(name) and pallas_map.eligible(shapes, dtypes):
         return pallas_map.stream_map_multi(
             lambda a, b, c, d: _complex_math(a, b, c, d, name),
             (sr, si, ar, ai),

@@ -468,8 +468,6 @@ def _finish(res: jax.Array, out: Optional[Tensor]) -> Tensor:
 def _try_planar_binary(xa, xb, name: str) -> Optional[Tensor]:
     """Planar fast path: keeps complex data as float planes across op
     boundaries (planar.py). Returns None when no fast path applies."""
-    if name == 'pow':
-        return None
     pa = xa._planar if isinstance(xa, Tensor) else None
     pb = xb._planar if isinstance(xb, Tensor) else None
     if pa is None and pb is None:

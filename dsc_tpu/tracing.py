@@ -124,8 +124,15 @@ class _ResultHolder:
 
 
 def tensor_args(**tensors) -> Dict[str, Any]:
-    """Capture shapes/dtypes like the reference per-op arg structs
-    (dsc_tracing.h:20-163)."""
+    """Capture shapes/dtypes/backend/nbytes like the reference per-op arg
+    structs (dsc_tracing.h:20-163, :287-312 — events there carry tensor
+    backends and data addresses; device placement + byte size are the
+    PJRT-world analog, and placement matters here because C64 is homed to
+    the CPU device on TPU hosts, interop.py)."""
+    if not _record:
+        # args are ignored when recording is off — skip the introspection
+        # cost on the untraced hot path
+        return {}
     out: Dict[str, Any] = {}
     for key, t in tensors.items():
         if t is None:
@@ -133,6 +140,18 @@ def tensor_args(**tensors) -> Dict[str, Any]:
         if hasattr(t, 'shape') and hasattr(t, 'dtype'):
             out[f'{key}_shape'] = list(t.shape)
             out[f'{key}_dtype'] = str(t.dtype)
+            # storage leaf WITHOUT materializing planar tensors (t.jax on
+            # a planar Tensor would build the dense complex array)
+            pp = getattr(t, '_planar', None)
+            leaf = pp.re if pp is not None else getattr(t, 'jax', t)
+            try:
+                dev = next(iter(leaf.devices()))
+                out[f'{key}_backend'] = dev.platform
+            except Exception:
+                pass
+            nb = getattr(pp if pp is not None else leaf, 'nbytes', None)
+            if nb is not None:
+                out[f'{key}_nbytes'] = int(nb)
         else:
             out[key] = t
     return out

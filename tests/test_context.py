@@ -35,6 +35,28 @@ def test_views_share_accounting():
     del t, v, w
 
 
+def test_clear_contract_live_tensors_survive():
+    # DELIBERATE divergence from the reference (documented in README and
+    # context.clear's docstring): dsc_ctx_clear resets the whole main
+    # buffer — used_mem drops to 0 and every tensor dies
+    # (dsc.cpp:287-291). With live-object accounting over XLA-managed
+    # buffers, invalidating live Python tensors would leave dangling
+    # wrappers, so clear() instead (a) empties the FFT plan cache and
+    # (b) reaps only DEAD buffers; live tensors keep their bytes and
+    # stay valid.
+    from dsc_tpu.fourier import plan as fft_plan
+
+    before = dsc.used_mem()
+    t = dsc.from_numpy(np.ones((64, 64), dtype=np.float32))
+    dsc.plan_fft(1024)
+    assert fft_plan.num_plans() > 0
+    dsc.clear()
+    assert fft_plan.num_plans() == 0          # plan cache emptied
+    assert dsc.used_mem() - before == 64 * 64 * 4  # live tensor kept
+    assert float(t.numpy().sum()) == 64 * 64       # and still valid
+    del t
+
+
 def test_alloc_cap_fails_fast():
     # allocator exhaustion is fatal in the reference
     # (dsc_allocator.cpp:112-114); here it raises MemoryError

@@ -179,6 +179,39 @@ class TestOps:
             want = np_op(pts)
             assert all_close(got, want), (np_op.__name__, got, want)
 
+    def test_complex_pow_formulas(self):
+        # complex pow runs as exp(b * log a) on real planes (reference
+        # pow_op, dsc_ops.h:305-316) — never XLA's native complex
+        # transcendental lowering (which wedges the axon TPU backend)
+        pts = np.array(
+            [-1 + 0j, 2j, -3j, 1 + 0j, -2 + 3j, 0.5 - 1.5j],
+            dtype=np.complex64,
+        )
+        exps = np.array(
+            [2 + 0j, 0.5 + 0j, -1 + 0j, 2.5 - 1j, 3 + 0j, 1j],
+            dtype=np.complex64,
+        )
+        a, b = dsc.from_numpy(pts), dsc.from_numpy(exps)
+        assert all_close(dsc.power(a, b).numpy(), pts**exps)
+        assert all_close(dsc.power(a, 2.0).numpy(), pts**2.0)
+        assert all_close(dsc.power(a, 1.5 + 0.5j).numpy(), pts ** (1.5 + 0.5j))
+        # mixed real base / complex exponent promotes to C32 then runs
+        # the same plane formula
+        rb = dsc.from_numpy(np.array([0.5, 2.0, 3.0], dtype=np.float32))
+        assert all_close(
+            dsc.power(rb, 1j).numpy(),
+            np.array([0.5, 2.0, 3.0]) ** 1j,
+        )
+
+    def test_csqrt_negative_zero_branch(self):
+        # signbit (not im < 0) picks the branch: complex(-4, -0.0) maps to
+        # -2j exactly as np.sqrt does
+        z = np.array([complex(-4.0, -0.0), complex(-4.0, 0.0)], np.complex64)
+        got = dsc.sqrt(dsc.from_numpy(z)).numpy()
+        want = np.sqrt(z)
+        assert all_close(got, want)
+        assert np.all(np.sign(got.imag) == np.sign(want.imag))
+
     def test_conj_real_views(self):
         # conj/real are NOP views on real tensors (dsc.cpp:1543-1594)
         x = dsc.from_numpy(random_nd([4, 4], np.float32))

@@ -216,6 +216,48 @@ def test_stream_fourstep_small_factors_grouped():
     assert np.abs(w - (xr + 1j * xi)).max() < 5e-4
 
 
+def test_stream_fourstep_multi_group_batched():
+    # batch > FACTOR_MAX//n so the grouped tile loop runs MULTIPLE row
+    # groups (bg > 0): exercises the dynamic tt//nt split combined with
+    # g>1 segmented out-DMAs and the (2, 2, g) semaphore array — the
+    # branch the single-group (batch == g) tests never reach
+    import jax
+
+    from dsc_tpu.fourier import pallas_stream as ps
+
+    n1 = n2 = 256
+    n = n1 * n2
+    b = 32
+    g = ps._group(b, n1)
+    assert g == 16 and b // g == 2  # two groups
+    rng = np.random.default_rng(23)
+    xr = rng.standard_normal((b, n)).astype(np.float32)
+    xi = rng.standard_normal((b, n)).astype(np.float32)
+    ref = np.fft.fft(xr + 1j * xi, axis=-1)
+    yr, yi = jax.jit(
+        lambda a, c: ps.fourstep_stream_p(a, c, n1, n2, False)
+    )(xr, xi)
+    y = np.asarray(yr) + 1j * np.asarray(yi)
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 3e-5
+    # multi-group inverse roundtrip
+    wr, wi = jax.jit(
+        lambda a, c: ps.fourstep_stream_p(a, c, n1, n2, True)
+    )(np.asarray(yr), np.asarray(yi))
+    w = np.asarray(wr) + 1j * np.asarray(wi)
+    assert np.abs(w - (xr + 1j * xi)).max() < 5e-4
+
+
+def test_stream_unsupported_when_grouping_degrades():
+    # ADVICE r2: a batch sharing no divisor with FACTOR_MAX//f must not
+    # take the stream path (g would degrade to 1 -> 128 KiB latency-bound
+    # tiles); eligibility now gates on the ACHIEVABLE group size
+    from dsc_tpu.fourier import pallas_stream as ps
+
+    assert not ps.supported(256, 256, np.complex64, batch=17)
+    assert ps.supported(256, 256, np.complex64, batch=32)
+    assert not ps.supported(256, 256, np.complex64, batch=1)
+
+
 def test_stream_path_end_to_end(monkeypatch):
     # dsc.rfft/irfft routed through the streaming kernel (interpret mode)
     monkeypatch.setattr(fft_config, 'STREAM_MODE', 'on')

@@ -50,6 +50,20 @@ def test_planar_roundtrip_no_reconstruct(sig):
     assert np.abs(back.numpy() - sig).max() < 1e-4
 
 
+def test_planar_pow_drops_hermitian(sig):
+    # pow on planar spectra runs the exp(b*log a) plane formula; the
+    # hermitian flag must NOT survive (log's branch cut breaks the
+    # mirror for negative-real spectrum values)
+    spec = _rfft(sig)
+    sq = dsc.power(spec, 2.0)
+    pp = sq._planar
+    assert pp is not None and not pp.hermitian
+    ref = np.fft.rfft(sig).astype(np.complex64) ** 2.0
+    got = sq.numpy()
+    denom = np.abs(ref).max()
+    assert np.abs(got - ref).max() / denom < 1e-4
+
+
 def test_planar_binary_ops_stay_planar(sig):
     rng = np.random.default_rng(8)
     ker = rng.standard_normal(N).astype(np.float32)

@@ -33,6 +33,13 @@ def test_profile_dumps_chrome_trace(tmp_path):
     add_ev = next(e for e in begins if e['name'] == 'add')
     assert add_ev['args']['xa_shape'] == [64, 64]
     assert add_ev['cat'] == 'op;binary'
+    # events carry backend + byte-size per tensor arg — the PJRT analog
+    # of the reference's per-tensor backend/data-address payload
+    # (dsc_tracing.h:287-312); placement matters here because C64 is
+    # homed to the CPU device on TPU hosts (interop.py)
+    assert add_ev['args']['xa_backend'] in ('cpu', 'tpu')
+    assert add_ev['args']['xa_nbytes'] == 64 * 64 * 4
+    assert add_ev['args']['xa_dtype'] == 'f32'
 
 
 def test_recording_off_is_free():
