@@ -124,8 +124,10 @@ def chain_main() -> None:
     n1, n2 = spec[1], spec[2]
 
     def rt_step(v):
-        fr, fi = fft_core.rfft_stream_full(v, n1, n2)
-        return fft_core.irfft_stream_from_full(fr, fi, n1, n2)
+        # hermitian-half T layout: contiguous half-width spectrum writes
+        # forward, contiguous half reads + in-kernel mirror inverse
+        hr, hi = fft_core.rfft_stream_half_t(v, n1, n2)
+        return fft_core.irfft_stream_from_half_t(hr, hi, n1, n2)
 
     def chain_time(step, state, k_base=4):
         @functools.partial(jax.jit, static_argnames=('k',))

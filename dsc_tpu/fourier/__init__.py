@@ -117,6 +117,21 @@ def _planar_fft_result(yr, yi, x: Tensor, ax: int, out_n: int,
     return t
 
 
+def _planar_fft_result_t(hr, hi, x: Tensor, ax: int, out_n: int,
+                         n1: int, n2: int, half: bool) -> Tensor:
+    """Wrap fourstep T / half-T layout planes (pallas_stream_t.py)."""
+    pp = Planar(hr, hi, (out_n,), hermitian=half, fourstep=(n1, n2, half))
+    want = _planar_out_shape(x, ax, out_n)
+    t = Tensor._from_planar(pp)
+    if t._shape != want:
+        t = Tensor._view_of(t, want)
+    return t
+
+
+def _batch_of(x: Tensor, ax: int) -> int:
+    return x.ne // x.shape[ax]
+
+
 def _fft_like(x: Tensor, out, n: int, axis: int, inverse: bool) -> Tensor:
     ax = _resolve_axis(x, axis)
     x_n = x.shape[ax]
@@ -130,8 +145,46 @@ def _fft_like(x: Tensor, out, n: int, axis: int, inverse: bool) -> Tensor:
         if nn12 is not None:
             n1, n2 = nn12
             pp = x._planar
+            single = _batch_of(x, ax) == 1
+
+            # inverse of a full-T layout spectrum: contiguous reads of
+            # the stored layout, natural-order planar output
+            if (inverse and pp is not None and pp.fourstep == (n1, n2, False)
+                    and pp.full_n == nn and x.shape == pp.shape):
+                with tracing.trace_op(name, 'op;fft',
+                                      tracing.tensor_args(x=x)) as tr:
+                    yr, yi = core.ifft_stream_from_t(pp.re, pp.im, n1, n2)
+                    if tr:
+                        tr.result = (yr, yi)
+                return _planar_fft_result(yr, yi, x, ax, nn,
+                                          hermitian=False)
+
+            # forward single-vector transforms land in the T layout:
+            # phase B writes contiguous row-tiles instead of strided
+            # 512-B rows, and a following ifft reads them contiguously
+            if not inverse and single and (pp is None
+                                           or pp.fourstep is None):
+                with tracing.trace_op(name, 'op;fft',
+                                      tracing.tensor_args(x=x)) as tr:
+                    if (pp is not None and pp.physical_ne == pp.ne
+                            and x.shape == pp.shape):
+                        hr, hi = core.fft_stream_t(
+                            pp.re, pp.im, n1, n2)
+                    elif x.dtype == Dtype.F32:
+                        hr, hi = core.fft_stream_t(
+                            _planar_input(x, ax), None, n1, n2)
+                    else:
+                        hr, hi = core.fft_stream_t(
+                            _planar_input(x, ax), None, n1, n2,
+                            from_dense=True)
+                    if tr:
+                        tr.result = (hr, hi)
+                return _planar_fft_result_t(hr, hi, x, ax, nn, n1, n2,
+                                            half=False)
+
             with tracing.trace_op(name, 'op;fft', tracing.tensor_args(x=x)) as tr:
-                if (pp is not None and pp.physical_ne == pp.ne
+                if (pp is not None and pp.fourstep is None
+                        and pp.physical_ne == pp.ne
                         and x.shape == pp.shape):
                     yr, yi = core.fft_stream_planar(
                         pp.re, pp.im, n1, n2, inverse
@@ -168,13 +221,25 @@ def rfft(x: Tensor, out: Optional[Tensor] = None, n: int = -1, axis: int = -1) -
     # (reference dsc.cpp:2194-2197)
     full_n = next_pow2(n) if n > 0 else next_pow2(x_n)
 
-    # planar streaming path: the full n-point spectrum stays as float
-    # planes with the logical n/2+1 prefix exposed (hermitian-full layout,
-    # planar.py) — no spectrum slice, no complex64 materialization
+    # planar streaming path. Single vectors land in the hermitian-HALF
+    # T layout (pallas_stream_t.py): half the spectrum bytes written,
+    # half the elementwise work on it, contiguous phase-B writes.
+    # Batched rows keep the hermitian-full natural layout (the full
+    # n-point spectrum as float planes with the logical n/2+1 prefix).
     if out is None and x.dtype == Dtype.F32:
         nn12 = _stream_1d(x, ax, full_n)
         if nn12 is not None:
             n1, n2 = nn12
+            if _batch_of(x, ax) == 1:
+                with tracing.trace_op('rfft', 'op;fft',
+                                      tracing.tensor_args(x=x)) as tr:
+                    hr, hi = core.rfft_stream_half_t(
+                        _planar_input(x, ax), n1, n2)
+                    if tr:
+                        tr.result = (hr, hi)
+                return _planar_fft_result_t(hr, hi, x, ax,
+                                            full_n // 2 + 1, n1, n2,
+                                            half=True)
             with tracing.trace_op('rfft', 'op;fft', tracing.tensor_args(x=x)) as tr:
                 yr, yi = core.rfft_stream_full(_planar_input(x, ax), n1, n2)
                 if tr:
@@ -201,14 +266,38 @@ def irfft(x: Tensor, out: Optional[Tensor] = None, n: int = -1, axis: int = -1) 
     order = next_pow2(n - 1) if n > 0 else next_pow2(x_n - 1)
     full_n = order * 2
 
+    pp = x._planar
+
+    # hermitian-half T fast path: the stored half IS the whole valid
+    # spectrum; the inverse reads it contiguously and mirrors in-kernel
+    # (pallas_stream_t.py)
+    if (
+        out is None
+        and pp is not None
+        and pp.fourstep is not None
+        and pp.fourstep[2]
+        and pp.hermitian
+        and pp.full_n == full_n
+        and x.shape == pp.shape
+    ):
+        n1, n2, _ = pp.fourstep
+        with tracing.trace_op('irfft', 'op;fft',
+                              tracing.tensor_args(x=x)) as tr:
+            y = core.irfft_stream_from_half_t(pp.re, pp.im, n1, n2)
+            if tr:
+                tr.result = y
+        return Tensor._from_jax(
+            y.reshape(_planar_out_shape(x, ax, full_n))
+        )
+
     # hermitian-full fast path: the input already holds the whole valid
     # spectrum as float planes (a large-rfft result, possibly transformed
     # by symmetry-preserving ops) — the inverse is a straight full-size
     # transform with a real output; no Hermitian reconstruction pass
-    pp = x._planar
     if (
         out is None
         and pp is not None
+        and pp.fourstep is None
         and pp.hermitian
         and pp.full_n == full_n
         and x.shape == pp.shape

@@ -290,6 +290,61 @@ def _rows(x, n):
     return _pad_crop(x.reshape(-1, x.shape[-1]), n), lead
 
 
+# ---- fourstep T / half-T layout entries (pallas_stream_t.py) ----------
+# batch == 1 only: the transposed layout trades the natural path's
+# strided phase-B writes for contiguous (half-width) tiles and lets the
+# inverse read exactly the stored half.
+
+
+@partial(jax.jit, static_argnames=('n1', 'n2'))
+def rfft_stream_half_t(x, n1, n2):
+    """(m,)-ish real vector (pad/crop to n) -> hermitian-half T-layout
+    planes (n1 + pad, n2/2 + 128)."""
+    from . import pallas_stream_t
+
+    xb, _ = _rows(x, n1 * n2)
+    return pallas_stream_t.fourstep_to_t_p(
+        xb.reshape(-1), None, n1, n2, half=True)
+
+
+@partial(jax.jit, static_argnames=('n1', 'n2'))
+def irfft_stream_from_half_t(hr, hi, n1, n2):
+    """Hermitian-half T-layout planes -> (n,) real inverse."""
+    from . import pallas_stream_t
+
+    yr, _ = pallas_stream_t.fourstep_from_t_p(
+        hr, hi, n1, n2, half=True, real_output=True)
+    return yr
+
+
+@partial(jax.jit, static_argnames=('n1', 'n2', 'from_dense'))
+def fft_stream_t(xr, xi, n1, n2, from_dense=False):
+    """Forward complex FFT into full-T layout planes (n1, n2). xr/xi are
+    float planes (xi None = real input); from_dense marks a complex
+    input to split."""
+    from . import pallas_stream_t
+
+    if from_dense:
+        xr, xi = jnp.real(xr), jnp.imag(xr)
+    n = n1 * n2
+    xb, _ = _rows(xr, n)
+    xib = None
+    if xi is not None:
+        xib, _ = _rows(xi, n)
+        xib = xib.reshape(-1)
+    return pallas_stream_t.fourstep_to_t_p(
+        xb.reshape(-1), xib, n1, n2, half=False)
+
+
+@partial(jax.jit, static_argnames=('n1', 'n2'))
+def ifft_stream_from_t(hr, hi, n1, n2):
+    """Full-T layout planes -> natural-order (n,) planar inverse."""
+    from . import pallas_stream_t
+
+    return pallas_stream_t.fourstep_from_t_p(
+        hr, hi, n1, n2, half=False, real_output=False)
+
+
 @partial(jax.jit, static_argnames=('n1', 'n2'))
 def rfft_stream_full(x, n1, n2):
     """(..., m) real (pad/crop to n = n1*n2) -> full-spectrum planes

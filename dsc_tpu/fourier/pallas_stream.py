@@ -47,6 +47,7 @@ kernels, fori_loop with i32 bounds, pl.multiple_of hints on DMA offsets,
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -68,6 +69,11 @@ def _ds0(size):
 # must fit VMEM next to the double buffers
 FACTOR_MIN = 512
 FACTOR_MAX = 4096
+
+# DFT stage-table mode for the streaming kernels (see _gen_dft_tables):
+# 'g3' (Gauss 3-mult, 25% fewer MXU passes) is the default; 'bf16'
+# (stacked-real) is the escape hatch / A-B reference.
+DFT_MODE = os.environ.get('DSC_FFT_DFT_MODE', 'g3')
 
 
 def _group(batch: int, nf: int) -> int:
@@ -106,23 +112,38 @@ def _iota_trig(rows, cols, modn, period, sign):
 
 
 def _gen_dft_tables(n, r1, r2, sign, mode):
-    """Generate the slab-DFT tables IN-KERNEL: stacked-real F_r1/F_r2
-    ((hi, lo) bf16 split pairs for mode 'bf16', single f32 for mode 'f32'/
-    Precision.HIGHEST) and the planar inner twiddle T[k1, j2] =
-    W_n^{sign*k1*j2}.
+    """Generate the slab-DFT tables IN-KERNEL, plus the planar inner
+    twiddle T[k1, j2] = W_n^{sign*k1*j2}. Stage-table modes, tagged by
+    tuple structure (strings are not jittable pytree leaves):
+
+    'f32'  — (stacked F,): one Precision.HIGHEST matmul per stacked
+             stage (6 MXU passes, ~1e-7; base kernels)
+    'bf16' — (hi, lo): stacked-real split-bf16, 3 passes per stacked
+             matmul = 12 per complex stage (~1e-5)
+    'g3'   — ((Frh,Frl), (Fih,Fil), (Fsh,Fsl)) with Fs = Fr + Fi:
+             Gauss 3-mult complex product — re = m1 - m2,
+             im = m3 - m1 - m2 with m1 = Fr@xr, m2 = Fi@xi,
+             m3 = Fs@(xr+xi) — 9 bf16 passes per complex stage, 25%
+             fewer MXU flops than 'bf16'; the im cancellation costs
+             ~1 ulp extra
 
     Generated, not uploaded: dense table constants embed as text in the
     Mosaic MLIR payload, and the remote compiler rejects multi-MiB request
     bodies (HTTP 413) once a chain holds several kernels. The trig costs
     ~40K VPU transcendentals once per kernel invocation — noise."""
-    def stack(c, s):
+    def stage(rr):
+        c, s = _iota_trig(rr, rr, rr, rr, sign)
+        if mode == 'g3':
+            return (_split_bf16(c), _split_bf16(s), _split_bf16(c + s))
         top = jnp.concatenate([c, -s], axis=1)
         bot = jnp.concatenate([s, c], axis=1)
         f = jnp.concatenate([top, bot], axis=0)
-        return _split_bf16(f) if mode == 'bf16' else (f,)
+        if mode == 'bf16':
+            return _split_bf16(f)
+        return (f,)
 
-    f1 = stack(*_iota_trig(r1, r1, r1, r1, sign))
-    f2 = stack(*_iota_trig(r2, r2, r2, r2, sign))
+    f1 = stage(r1)
+    f2 = stage(r2)
     tr, ti = _iota_trig(r1, r2, n, n, sign)
     return f1, f2, tr, ti
 
@@ -137,46 +158,84 @@ def _split_bf16(x):
     return hi, lo
 
 
-def _mm(mats, m):
-    """One stacked-complex matmul stage. mats is (hi, lo) bf16 -> three
-    native bf16 MXU passes, f32 accumulate (~2x Precision.HIGHEST's six
-    passes; ~1e-5 relative — the hi/lo data split's own residual, so a
-    fourth lo*lo pass does not help). mats is a 1-tuple f32 -> one
-    HIGHEST matmul (~1e-7)."""
+def _mmr(fm, x):
+    """One real matmul with a 3-pass split-bf16 operand expansion
+    (~2x Precision.HIGHEST's six passes; ~1e-5 relative — the hi/lo data
+    split's own residual, so a fourth lo*lo pass does not help)."""
     dot = _dot()
+    fh, fl = fm
+    xh, xl = _split_bf16(x)
+    return dot(fh, xh) + (dot(fl, xh) + dot(fh, xl))
+
+
+def _mm_stage(tab, xr, xi, real_out=False):
+    """One complex DFT stage F @ (xr + i*xi) on separated planes.
+
+    xi None = real input (the Fi@xi term vanishes). real_out=True drops
+    the imaginary output — for 'g3' that skips the m3 matmul entirely
+    (irfft's last stage needs only the real plane: 2 of 3 matmuls).
+    Mode is inferred from the table structure (see _gen_dft_tables)."""
+    if len(tab) == 3:  # 'g3'
+        fr, fi, fs = tab
+        if xi is None:
+            return _mmr(fr, xr), (None if real_out else _mmr(fi, xr))
+        m1 = _mmr(fr, xr)
+        m2 = _mmr(fi, xi)
+        if real_out:
+            return m1 - m2, None
+        m3 = _mmr(fs, xr + xi)
+        return m1 - m2, m3 - m1 - m2
+    # stacked forms: (hi, lo) = 'bf16', (f,) = 'f32'
+    r = xr.shape[0]
+    if xi is None:
+        m = xr
+        mats = tuple(f[:, :r] for f in tab)
+    else:
+        m = jnp.concatenate([xr, xi], axis=0)
+        mats = tab
     if len(mats) == 2:
         fh, fl = mats
+        dot = _dot()
         mh, ml = _split_bf16(m)
-        return dot(fh, mh) + (dot(fl, mh) + dot(fh, ml))
-    return jnp.dot(mats[0], m, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
-
-
-def _dft_slab(sr, si, n, r1, r2, mats1, mats2, tr, ti):
-    """DFT over the sublane axis of an (n, L) slab; si may be None for
-    real input. Returns (n, L) planar slabs in natural order.
-
-    Each complex-matmul stage is one stacked real matmul:
-    [ar; ai] = [[Fr, -Fi], [Fi, Fr]] @ [mr; mi] — full 128x128 MXU tiles
-    for r = 64 factors."""
-    lanes = sr.shape[1]
-    mr = sr.reshape(r1, r2 * lanes)
-    if si is None:
-        # real input: only the left block-column of F1s contributes
-        a2 = _mm(tuple(f[:, :r1] for f in mats1), mr)
+        a2 = dot(fh, mh) + (dot(fl, mh) + dot(fh, ml))
     else:
-        mi = si.reshape(r1, r2 * lanes)
-        a2 = _mm(mats1, jnp.concatenate([mr, mi], axis=0))
+        a2 = jnp.dot(mats[0], m, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    return a2[:r], (None if real_out else a2[r:])
+
+
+def _dft_slab(sr, si, n, r1, r2, mats1, mats2, tr, ti, real_output=False,
+              out_rows=None):
+    """DFT over the sublane axis of an (n, L) slab; si may be None for
+    real input, real_output=True returns (re, None) and skips the last
+    stage's imaginary matmuls. ``out_rows`` (a multiple of r1, g3 tables
+    only) computes just the natural-order prefix [0, out_rows) by slicing
+    the stage-2 matrices — the hermitian-half forward needs only the
+    lower half of the spectrum (pallas_stream_t.py). Returns
+    (n|out_rows, L) planar slabs in natural order. Full 128-row MXU
+    tiles for r = 64 factors."""
+    lanes = sr.shape[1]
+    n_out = n
+    if out_rows is not None and out_rows < n:
+        assert len(mats2) == 3 and out_rows % r1 == 0, (out_rows, r1)
+        ra = out_rows // r1
+        mats2 = tuple((h[:ra], lo[:ra]) for (h, lo) in mats2)
+        n_out = out_rows
+    mr = sr.reshape(r1, r2 * lanes)
+    mi = None if si is None else si.reshape(r1, r2 * lanes)
+    a2r, a2i = _mm_stage(mats1, mr, mi)
     t3r = tr.reshape(r1, r2, 1)
     t3i = ti.reshape(r1, r2, 1)
-    a3r = a2[:r1].reshape(r1, r2, lanes)
-    a3i = a2[r1:].reshape(r1, r2, lanes)
+    a3r = a2r.reshape(r1, r2, lanes)
+    a3i = a2i.reshape(r1, r2, lanes)
     br = a3r * t3r - a3i * t3i
     bi = a3r * t3i + a3i * t3r
     b2r = br.transpose(1, 0, 2).reshape(r2, r1 * lanes)
     b2i = bi.transpose(1, 0, 2).reshape(r2, r1 * lanes)
-    c2 = _mm(mats2, jnp.concatenate([b2r, b2i], axis=0))
-    return c2[:r2].reshape(n, lanes), c2[r2:].reshape(n, lanes)
+    c2r, c2i = _mm_stage(mats2, b2r, b2i, real_out=real_output)
+    if real_output:
+        return c2r.reshape(n_out, lanes), None
+    return c2r.reshape(n_out, lanes), c2i.reshape(n_out, lanes)
 
 
 def _pipe2(n_tiles, in_start, in_wait, step, out_wait):
@@ -218,7 +277,7 @@ def _pipe2(n_tiles, in_start, in_wait, step, out_wait):
         out_wait(tt % 2, jnp.int32(tt))
 
 
-def _phase_a_kernel(n1, n2, batch, sign, real_input, *refs):
+def _phase_a_kernel(n1, n2, batch, sign, real_input, mode, *refs):
     """Column DFT + four-step twiddle + transpose:
     x (batch*n1, n2) planar HBM -> Z (batch*n2, n1) planar HBM.
 
@@ -305,7 +364,7 @@ def _phase_a_kernel(n1, n2, batch, sign, real_input, *refs):
         k2r1_io = jax.lax.broadcasted_iota(
             jnp.int32, (r2, LANES), 0) * jnp.int32(r1)
         cv_io = jax.lax.broadcasted_iota(jnp.int32, (r2, LANES), 1)
-        mats1, mats2, tr, ti = _gen_dft_tables(n1, r1, r2, sign, 'bf16')
+        mats1, mats2, tr, ti = _gen_dft_tables(n1, r1, r2, sign, mode)
 
         def step(s, tt):
             _, t = _split(tt)
@@ -373,7 +432,7 @@ def _phase_a_kernel(n1, n2, batch, sign, real_input, *refs):
     )
 
 
-def _phase_b_kernel(n1, n2, batch, sign, scale, real_output, *refs):
+def _phase_b_kernel(n1, n2, batch, sign, scale, real_output, mode, *refs):
     """Row DFT: Z (batch*n2, n1) planar HBM -> X (batch*n2, n1) planar HBM
     (slab layout == output layout, no transpose)."""
     if real_output:
@@ -429,7 +488,7 @@ def _phase_b_kernel(n1, n2, batch, sign, scale, real_output, *refs):
                     out_sems.at[jnp.int32(s), jnp.int32(1)]))
             return cps
 
-        mats1, mats2, tr, ti = _gen_dft_tables(n2, r1, r2, sign, 'bf16')
+        mats1, mats2, tr, ti = _gen_dft_tables(n2, r1, r2, sign, mode)
 
         def step(s, tt):
             @pl.when(tt >= 2)
@@ -439,9 +498,12 @@ def _phase_b_kernel(n1, n2, batch, sign, scale, real_output, *refs):
 
             for seg in range(g):
                 seg_rows = slice(seg * n2, (seg + 1) * n2)
+                # real_output (irfft tail): the last stage computes only
+                # the real plane — 2 of g3's 3 matmuls
                 cr, ci = _dft_slab(bufs_r[s][seg_rows, :],
                                    bufs_i[s][seg_rows, :], n2, r1, r2,
-                                   mats1, mats2, tr, ti)
+                                   mats1, mats2, tr, ti,
+                                   real_output=real_output)
                 if scale != 1.0:
                     sc = jnp.float32(scale)
                     outs_r[s][seg_rows, :] = cr * sc
@@ -494,6 +556,7 @@ def fourstep_stream_p(
     n2: int,
     inverse: bool,
     real_output: bool = False,
+    mode: Optional[str] = None,
 ):
     """n-point planar FFT via two streaming passes; flat (n,) pair or a
     batched (B, n) pair (each row transformed independently — the tile
@@ -502,9 +565,11 @@ def fourstep_stream_p(
     xi may be None (real input). real_output drops the imaginary output
     plane (irfft tail). Inverse applies 1/n scaling via sign-flipped
     tables — no conjugation passes. All tables are generated in-kernel
-    (see _gen_dft_tables), so the kernels take only data refs.
+    (see _gen_dft_tables), so the kernels take only data refs. ``mode``
+    overrides the DFT stage-table mode (default DFT_MODE = 'g3').
     """
     n = n1 * n2
+    mode = mode or DFT_MODE
     batch = 1 if xr.ndim == 1 else xr.shape[0]
     out_lead = xr.shape[:-1]
     sign = 1 if inverse else -1
@@ -514,7 +579,7 @@ def fourstep_stream_p(
     xr2 = xr.reshape(batch * n1, n2)
     ins_a = (xr2,) if xi is None else (xr2, xi.reshape(batch * n1, n2))
     kernel_a = functools.partial(
-        _phase_a_kernel, n1, n2, batch, sign, xi is None)
+        _phase_a_kernel, n1, n2, batch, sign, xi is None, mode)
     zr, zi = pl.pallas_call(
         kernel_a,
         in_specs=[anyspec] * len(ins_a),
@@ -532,7 +597,7 @@ def fourstep_stream_p(
 
     scale = (1.0 / n) if inverse else 1.0
     kernel_b = functools.partial(
-        _phase_b_kernel, n1, n2, batch, sign, scale, real_output)
+        _phase_b_kernel, n1, n2, batch, sign, scale, real_output, mode)
     out_shapes = (jax.ShapeDtypeStruct((batch * n2, n1), jnp.float32),)
     out_specs = (anyspec,)
     if not real_output:

@@ -41,9 +41,18 @@ import numpy as np
 
 
 class Planar:
-    """Two float planes representing a complex64 value of ``shape``."""
+    """Two float planes representing a complex64 value of ``shape``.
 
-    __slots__ = ('re', 'im', 'shape', 'hermitian', '_dense')
+    ``fourstep = (n1, n2, half)`` marks the transposed streaming-FFT
+    layout (pallas_stream_t.py): physical planes are (n1 + pad, nc) with
+    X_T[k1, k2] = X[k1 + n1*k2]; ``half`` stores only columns [0, n2/2]
+    of a real-input spectrum (the upper half is the conjugate mirror, so
+    ``hermitian`` is True by construction and the logical shape is
+    (n/2+1,)). Natural order is restored lazily at materialize()/
+    to_numpy(); same-layout elementwise ops run on the physical planes
+    directly (half the work of a full spectrum)."""
+
+    __slots__ = ('re', 'im', 'shape', 'hermitian', 'fourstep', '_dense')
 
     def __init__(
         self,
@@ -51,15 +60,25 @@ class Planar:
         im: jax.Array,
         shape: Tuple[int, ...],
         hermitian: bool = False,
+        fourstep: Optional[Tuple[int, int, bool]] = None,
     ):
         assert re.shape == im.shape and re.dtype == im.dtype
         shape = tuple(shape)
-        assert tuple(re.shape[:-1]) == shape[:-1], (re.shape, shape)
-        assert shape[-1] <= re.shape[-1], (re.shape, shape)
+        if fourstep is None:
+            assert tuple(re.shape[:-1]) == shape[:-1], (re.shape, shape)
+            assert shape[-1] <= re.shape[-1], (re.shape, shape)
+        else:
+            n1, n2, half = fourstep
+            assert re.ndim == 2 and re.shape[1] >= (
+                n2 // 2 + 1 if half else n2), (re.shape, fourstep)
+            assert shape == ((n1 * n2 // 2 + 1,) if half
+                             else (n1 * n2,)), (shape, fourstep)
+            assert hermitian or not half
         self.re = re
         self.im = im
         self.shape = shape
         self.hermitian = hermitian
+        self.fourstep = fourstep
         self._dense: Optional[jax.Array] = None
 
     # -- metadata (what _Buffer / Tensor need) ------------------------------
@@ -85,23 +104,43 @@ class Planar:
 
     @property
     def full_n(self) -> int:
-        """For hermitian-full spectra: the transform length n (last plane
-        dim); logical last dim is n//2 + 1."""
+        """Spectrum transform length n: last plane dim for the natural
+        hermitian-full layout, n1*n2 for fourstep layouts."""
+        if self.fourstep is not None:
+            return self.fourstep[0] * self.fourstep[1]
         return int(self.re.shape[-1])
 
     # -- materialization ------------------------------------------------------
 
     def materialize(self) -> jax.Array:
-        """Dense complex array of the logical shape (cached)."""
+        """Dense complex array of the logical shape (cached); fourstep
+        layouts untranspose on device first."""
         if self._dense is None:
-            self._dense = _materialize(
-                self.re, self.im, ne=self.ne, shape=self.shape
-            )
+            if self.fourstep is not None:
+                self._dense = _materialize_t(
+                    self.re, self.im, fourstep=self.fourstep,
+                    shape=self.shape)
+            else:
+                self._dense = _materialize(
+                    self.re, self.im, ne=self.ne, shape=self.shape
+                )
         return self._dense
 
     def to_numpy(self) -> np.ndarray:
         """Host complex array — downloads the float planes (complex can't
-        cross the TPU transfer boundary, interop.py) and combines on host."""
+        cross the TPU transfer boundary, interop.py) and combines on host
+        (fourstep layouts untranspose host-side: X[k1 + n1*k2] =
+        H[k1, k2])."""
+        if self.fourstep is not None:
+            n1, n2, half = self.fourstep
+            m2 = n2 // 2 + 1 if half else n2
+            re = np.asarray(self.re)[:n1, :m2].T.reshape(-1)
+            im = np.asarray(self.im)[:n1, :m2].T.reshape(-1)
+            m = self.shape[-1]
+            out = np.empty(self.shape, dtype=self.dtype)
+            out.real = re[:m]
+            out.imag = im[:m]
+            return out
         m = self.shape[-1]
         re = np.asarray(self.re)[..., :m]
         im = np.asarray(self.im)[..., :m]
@@ -121,6 +160,61 @@ def _prefix(p, shape):
 @partial(jax.jit, static_argnames=('ne', 'shape'))
 def _materialize(re, im, *, ne, shape):
     return jax.lax.complex(_prefix(re, shape), _prefix(im, shape))
+
+
+def _nat_t(p, fourstep, shape):
+    """Natural-order real plane from a fourstep-layout plane (traced)."""
+    n1, n2, half = fourstep
+    m2 = n2 // 2 + 1 if half else n2
+    return p[:n1, :m2].T.reshape(-1)[: shape[-1]].reshape(shape)
+
+
+@partial(jax.jit, static_argnames=('fourstep', 'shape'))
+def _materialize_t(re, im, *, fourstep, shape):
+    return jax.lax.complex(_nat_t(re, fourstep, shape),
+                           _nat_t(im, fourstep, shape))
+
+
+@partial(jax.jit, static_argnames=('fourstep', 'shape'))
+def _abs_t(re, im, *, fourstep, shape):
+    fr = _nat_t(re, fourstep, shape)
+    fi = _nat_t(im, fourstep, shape)
+    return jnp.sqrt(fr * fr + fi * fi)
+
+
+@partial(jax.jit, static_argnames=('fourstep', 'shape'))
+def _angle_t(re, im, *, fourstep, shape):
+    return jnp.arctan2(_nat_t(im, fourstep, shape),
+                       _nat_t(re, fourstep, shape))
+
+
+@partial(jax.jit, static_argnames=('fourstep', 'shape'))
+def _plane_t(p, *, fourstep, shape):
+    return _nat_t(p, fourstep, shape)
+
+
+# pp-level dispatchers (tensor.py entry points): route natural-layout
+# planes through the prefix forms, fourstep layouts through the
+# untransposing forms
+
+
+def abs_pp(pp: 'Planar'):
+    if pp.fourstep is not None:
+        return _abs_t(pp.re, pp.im, fourstep=pp.fourstep, shape=pp.shape)
+    return abs_planes(pp.re, pp.im, ne=pp.ne, shape=pp.shape)
+
+
+def angle_pp(pp: 'Planar'):
+    if pp.fourstep is not None:
+        return _angle_t(pp.re, pp.im, fourstep=pp.fourstep, shape=pp.shape)
+    return angle_planes(pp.re, pp.im, ne=pp.ne, shape=pp.shape)
+
+
+def plane_pp(pp: 'Planar', which: str):
+    p = pp.re if which == 'real' else pp.im
+    if pp.fourstep is not None:
+        return _plane_t(p, fourstep=pp.fourstep, shape=pp.shape)
+    return prefix_plane(p, ne=pp.ne, shape=pp.shape)
 
 
 # ---------------------------------------------------------------------------
@@ -173,18 +267,33 @@ def _pp_jit(ar, ai, br, bi, *, name):
 
 
 def binary_pp(name: str, a: Planar, b: Planar) -> Optional[Planar]:
-    """Planar x planar elementwise op; None if shapes are incompatible."""
+    """Planar x planar elementwise op; None if shapes/layouts are
+    incompatible (the caller then falls back to dense materialization).
+    Same-layout fourstep operands compute on the physical planes — for
+    the half layout that is HALF the elementwise work of a full
+    spectrum."""
     if a.re.shape != b.re.shape or a.shape != b.shape:
         return None
-    if a.re.dtype != b.re.dtype:
+    if a.re.dtype != b.re.dtype or a.fourstep != b.fourstep:
+        return None
+    half = a.fourstep is not None and a.fourstep[2]
+    if half and not _herm_preserved(name):
+        # half storage can only represent hermitian spectra; pow's branch
+        # cut breaks the implied mirror -> dense fallback
         return None
     yr, yi = _pp_jit(a.re, a.im, b.re, b.im, name=name)
-    herm = a.hermitian and b.hermitian and _herm_preserved(name)
-    return Planar(yr, yi, a.shape, hermitian=herm)
+    herm = half or (a.hermitian and b.hermitian and _herm_preserved(name))
+    return Planar(yr, yi, a.shape, hermitian=herm, fourstep=a.fourstep)
 
 
-def binary_ps(name: str, a: Planar, s: complex, reverse: bool) -> Planar:
-    """Planar x python-scalar op (scalar on the right unless ``reverse``)."""
+def binary_ps(name: str, a: Planar, s: complex,
+              reverse: bool) -> Optional[Planar]:
+    """Planar x python-scalar op (scalar on the right unless ``reverse``);
+    None when the half layout cannot represent the (non-hermitian)
+    result — complex scalars and pow break the implied mirror."""
+    half = a.fourstep is not None and a.fourstep[2]
+    if half and (s.imag != 0 or not _herm_preserved(name)):
+        return None
     fdt = np.float32 if a.re.dtype == jnp.float32 else np.float64
     br = fdt(s.real)
     bi = fdt(s.imag)
@@ -192,8 +301,8 @@ def binary_ps(name: str, a: Planar, s: complex, reverse: bool) -> Planar:
         yr, yi = _sp_jit(br, bi, a.re, a.im, name=name)
     else:
         yr, yi = _pp_jit(a.re, a.im, br, bi, name=name)
-    herm = a.hermitian and s.imag == 0 and _herm_preserved(name)
-    return Planar(yr, yi, a.shape, hermitian=herm)
+    herm = half or (a.hermitian and s.imag == 0 and _herm_preserved(name))
+    return Planar(yr, yi, a.shape, hermitian=herm, fourstep=a.fourstep)
 
 
 @partial(jax.jit, static_argnames=('name',))

@@ -498,6 +498,8 @@ def _try_planar_binary(xa, xb, name: str) -> Optional[Tensor]:
         return None
     with tracing.trace_op(name, 'op;binary', args) as tr:
         res = planar_ops.binary_ps(name, p, sc, reverse)
+        if res is None:
+            return None
         if tr:
             tr.result = (res.re, res.im)
     shape = xa.shape if isinstance(xa, Tensor) else xb.shape
@@ -602,8 +604,7 @@ def absolute(x: Tensor, out: Optional[Tensor] = None) -> Tensor:
     pp = x._planar if isinstance(x, Tensor) else None
     if pp is not None and out is None:
         with tracing.trace_op('abs', 'op;unary', tracing.tensor_args(x=x)) as tr:
-            res = planar_ops.abs_planes(pp.re, pp.im, ne=pp.ne,
-                                        shape=pp.shape)
+            res = planar_ops.abs_pp(pp)
             if tr:
                 tr.result = res
         return Tensor._from_jax(res.reshape(x.shape))
@@ -614,8 +615,7 @@ def angle(x: Tensor) -> Tensor:
     pp = x._planar if isinstance(x, Tensor) else None
     if pp is not None:
         with tracing.trace_op('angle', 'op;unary', tracing.tensor_args(x=x)) as tr:
-            res = planar_ops.angle_planes(pp.re, pp.im, ne=pp.ne,
-                                          shape=pp.shape)
+            res = planar_ops.angle_pp(pp)
             if tr:
                 tr.result = res
         return Tensor._from_jax(res.reshape(x.shape))
@@ -632,7 +632,7 @@ def conj(x: Tensor) -> Tensor:
         # is preserved (conj of a Hermitian spectrum is Hermitian)
         with tracing.trace_op('conj', 'op;unary', tracing.tensor_args(x=x)) as tr:
             res = Planar(pp.re, planar_ops.neg_im(pp.im), pp.shape,
-                         hermitian=pp.hermitian)
+                         hermitian=pp.hermitian, fourstep=pp.fourstep)
             if tr:
                 tr.result = res.im
         return _planar_result(res, x.shape)
@@ -646,7 +646,7 @@ def real(x: Tensor) -> Tensor:
     pp = x._planar if isinstance(x, Tensor) else None
     if pp is not None:
         with tracing.trace_op('real', 'op;unary', tracing.tensor_args(x=x)) as tr:
-            res = planar_ops.prefix_plane(pp.re, ne=pp.ne, shape=pp.shape)
+            res = planar_ops.plane_pp(pp, 'real')
             if tr:
                 tr.result = res
         return Tensor._from_jax(res.reshape(x.shape))
@@ -657,7 +657,7 @@ def imag(x: Tensor) -> Tensor:
     pp = x._planar if isinstance(x, Tensor) else None
     if pp is not None:
         with tracing.trace_op('imag', 'op;unary', tracing.tensor_args(x=x)) as tr:
-            res = planar_ops.prefix_plane(pp.im, ne=pp.ne, shape=pp.shape)
+            res = planar_ops.plane_pp(pp, 'imag')
             if tr:
                 tr.result = res
         return Tensor._from_jax(res.reshape(x.shape))

@@ -86,6 +86,17 @@ def test_generated_tables_accurate():
     rec = np.asarray(f1h, np.float32) + np.asarray(f1l, np.float32)
     assert np.abs(rec - stacked).max() < 2 ** -15
 
+    # g3 (Gauss 3-mult) tables: Fr, Fi, Fr+Fi split pairs
+    (fr, fi, fs), *_ = jax.jit(
+        lambda: _gen_dft_tables(n, r1, r2, -1, 'g3')
+    )()
+    rr = np.asarray(fr[0], np.float32) + np.asarray(fr[1], np.float32)
+    ri = np.asarray(fi[0], np.float32) + np.asarray(fi[1], np.float32)
+    rs = np.asarray(fs[0], np.float32) + np.asarray(fs[1], np.float32)
+    assert np.abs(rr - ref.real).max() < 2 ** -15
+    assert np.abs(ri - ref.imag).max() < 2 ** -15
+    assert np.abs(rs - (ref.real + ref.imag)).max() < 2 ** -14
+
 
 def test_reconstruct_spectrum_kernel():
     # Hermitian reconstruction DMA kernel (interpret mode; small chunks)

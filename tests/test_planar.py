@@ -51,17 +51,28 @@ def test_planar_roundtrip_no_reconstruct(sig):
 
 
 def test_planar_pow_drops_hermitian(sig):
-    # pow on planar spectra runs the exp(b*log a) plane formula; the
-    # hermitian flag must NOT survive (log's branch cut breaks the
-    # mirror for negative-real spectrum values)
+    # pow on spectra runs the exp(b*log a) plane formula; hermitian must
+    # NOT survive (log's branch cut breaks the mirror for negative-real
+    # spectrum values). A half-T spectrum cannot even represent the
+    # result and densifies; a natural planar keeps planes with the flag
+    # dropped.
     spec = _rfft(sig)
     sq = dsc.power(spec, 2.0)
     pp = sq._planar
-    assert pp is not None and not pp.hermitian
+    assert pp is None or not pp.hermitian
     ref = np.fft.rfft(sig).astype(np.complex64) ** 2.0
     got = sq.numpy()
     denom = np.abs(ref).max()
     assert np.abs(got - ref).max() / denom < 1e-4
+    # natural hermitian-full (batched) spectra keep planes through pow
+    # with the flag dropped — the planar pow formula path
+    xb = np.stack([sig, sig[::-1].copy()])
+    specb = dsc.rfft(dsc.from_numpy(xb))
+    sqb = dsc.power(specb, 2.0)
+    ppb = sqb._planar
+    assert ppb is not None and not ppb.hermitian
+    refb = np.fft.rfft(xb, axis=-1).astype(np.complex64) ** 2.0
+    assert np.abs(sqb.numpy() - refb).max() / np.abs(refb).max() < 1e-4
 
 
 def test_planar_binary_ops_stay_planar(sig):
@@ -105,10 +116,14 @@ def test_planar_scalar_ops(sig):
     rsub = 1.0 - spec
     assert rsub._planar is not None
     assert np.abs(rsub.numpy() - (1.0 - ref)).max() / scale < 1e-4
-    # complex scalar drops hermitian (the upper half is no longer the
-    # conjugate mirror) -> irfft takes the reconstruction fallback
+    # complex scalar breaks the conjugate-mirror property. A half-T
+    # spectrum cannot represent that, so the op densifies; a natural
+    # hermitian-full planar would keep planes with hermitian dropped.
+    # Either way the VALUES are right and irfft takes the
+    # reconstruction fallback.
     rot = spec * 1j
-    assert rot._planar is not None and not rot._planar.hermitian
+    rp = rot._planar
+    assert rp is None or not rp.hermitian
     assert np.abs(rot.numpy() - ref * 1j).max() / scale < 1e-4
     back = dsc.irfft(rot)
     assert np.abs(back.numpy() - np.fft.irfft(ref * 1j)).max() < 1e-3
