@@ -60,16 +60,23 @@ def _ds0(size):
     return pl.ds(jnp.int32(0), size)
 
 
-def _map_kernel(fn, n_stream, n_scalar, n_out, rows, rem_rows, depth, *refs):
-    """refs = streamed HBM inputs, scalar SMEM inputs, HBM outputs.
+def _map_kernel(fn, n_stream, n_brow, brow_tiles, n_scalar, n_out, rows,
+                rem_rows, depth, *refs):
+    """refs = streamed HBM inputs, broadcast-row HBM inputs, scalar SMEM
+    inputs, HBM outputs.
 
-    ``fn`` takes (streamed slabs..., scalar values...) IN THAT ORDER and
-    returns n_out arrays; the caller reorders operands beforehand.
-    ``depth`` static buffer sets software-pipeline the tile loop.
+    ``fn`` takes (streamed slabs..., row slabs..., scalar values...) IN
+    THAT ORDER and returns n_out arrays; the caller reorders operands
+    beforehand. Broadcast rows (brow_tiles = M/128 each) are DMA'd into
+    VMEM ONCE up front and sublane-replicated per tile — the reference's
+    zero-stride broadcast iterator (dsc_iter.h:67-95) mapped to VMEM
+    reuse instead of re-reading HBM. ``depth`` static buffer sets
+    software-pipeline the tile loop.
     """
     ins = refs[:n_stream]
-    scalars = refs[n_stream:n_stream + n_scalar]
-    outs = refs[n_stream + n_scalar:]
+    brows = refs[n_stream:n_stream + n_brow]
+    scalars = refs[n_stream + n_brow:n_stream + n_brow + n_scalar]
+    outs = refs[n_stream + n_brow + n_scalar:]
     total_rows = ins[0].shape[0]
     n_full = (total_rows - rem_rows) // rows
 
@@ -84,8 +91,35 @@ def _map_kernel(fn, n_stream, n_scalar, n_out, rows, rem_rows, depth, *refs):
             scratch[ob0 + d * n_out:ob0 + (d + 1) * n_out]
             for d in range(depth)
         )
-        in_sems, out_sems = scratch[-2], scratch[-1]
+        rbufs = scratch[ob0 + depth * n_out:
+                        ob0 + depth * n_out + n_brow]
+        if n_brow:
+            in_sems, out_sems, brow_sems = scratch[-3], scratch[-2], \
+                scratch[-1]
+            rcps = [
+                pltpu.make_async_copy(
+                    brows[j], rbufs[j], brow_sems.at[jnp.int32(j)])
+                for j in range(n_brow)
+            ]
+            for cp in rcps:
+                cp.start()
+            for cp in rcps:
+                cp.wait()
+        else:
+            in_sems, out_sems = scratch[-2], scratch[-1]
         svals = [s[0] for s in scalars]
+
+        def rvals(r):
+            # replicate each (M/128, 128) row buffer down the tile's
+            # sublanes (tile boundaries are row-aligned: rows % M/128
+            # == 0 by eligibility)
+            out = []
+            for j in range(n_brow):
+                rb = rbufs[j][:]
+                reps = r // brow_tiles
+                out.append(jnp.broadcast_to(
+                    rb[None], (reps,) + rb.shape).reshape(r, LANES))
+            return out
 
         def in_dma(s, t, r=rows, row0=None):
             off = row0 if row0 is not None else \
@@ -114,7 +148,8 @@ def _map_kernel(fn, n_stream, n_scalar, n_out, rows, rem_rows, depth, *refs):
             ]
 
         def step(s, t):
-            ys = fn(*[bufs[s][j][:] for j in range(n_stream)], *svals)
+            ys = fn(*[bufs[s][j][:] for j in range(n_stream)],
+                    *rvals(rows), *svals)
             if n_out == 1 and not isinstance(ys, (tuple, list)):
                 ys = (ys,)
 
@@ -137,7 +172,8 @@ def _map_kernel(fn, n_stream, n_scalar, n_out, rows, rem_rows, depth, *refs):
                 cp.wait()
             # compute on the full buffer (tail rows are stale garbage,
             # dropped by the store) to keep one fn specialization
-            ys = fn(*[bufs[s][j][:] for j in range(n_stream)], *svals)
+            ys = fn(*[bufs[s][j][:] for j in range(n_stream)],
+                    *rvals(rows), *svals)
             if n_out == 1 and not isinstance(ys, (tuple, list)):
                 ys = (ys,)
             for j in range(n_out):
@@ -189,8 +225,11 @@ def _map_kernel(fn, n_stream, n_scalar, n_out, rows, rem_rows, depth, *refs):
          for _ in range(depth) for j in range(n_stream)]
         + [pltpu.VMEM((rows, LANES), outs[j].dtype)
            for _ in range(depth) for j in range(n_out)]
+        + [pltpu.VMEM((brow_tiles, LANES), brows[j].dtype)
+           for j in range(n_brow)]
         + [pltpu.SemaphoreType.DMA((depth, n_stream)),
            pltpu.SemaphoreType.DMA((depth, n_out))]
+        + ([pltpu.SemaphoreType.DMA((n_brow,))] if n_brow else [])
     )
     pl.run_scoped(body, *scratch)
 
@@ -199,22 +238,63 @@ def _interpret() -> bool:
     return jax.default_backend() != 'tpu'
 
 
+def _classify(shapes):
+    """Operand kinds for the streaming kernel: (target_shape, kinds) with
+    kinds[i] in {'full', 'scalar', 'brow'}; None when some operand fits
+    no streamable pattern. 'brow' is a broadcast ROW — shape (M,) or
+    (1, .., M) against a (..., M) target — served from VMEM without
+    re-reading HBM (reference broadcast iterator semantics,
+    dsc_iter.h:67-95). Other broadcast patterns (collapsed inner dims)
+    take the XLA path."""
+    shp = [tuple(s) for s in shapes]
+    sizes = [int(np.prod(s)) if s else 1 for s in shp]
+    mx = max(sizes)
+    if mx == 1:
+        return None
+    fulls = {s for s, ne in zip(shp, sizes) if ne == mx}
+    if len(fulls) != 1:
+        return None
+    tgt = next(iter(fulls))
+    m = tgt[-1]
+    kinds = []
+    for s, ne in zip(shp, sizes):
+        if ne == mx:
+            kinds.append('full')
+        elif ne == 1:
+            kinds.append('scalar')
+        elif (len(tgt) >= 2 and ne == m and s[-1] == m
+              and all(d == 1 for d in s[:-1])):
+            kinds.append('brow')
+        else:
+            return None
+    if 'full' not in kinds:
+        return None
+    return tgt, kinds
+
+
 def eligible(shapes, dtypes) -> bool:
-    """Streamable: f32, every operand either full-shape or 1-element, the
-    full shape contiguous with a multiple-of-128 element count >= 8 MiB.
+    """Streamable: f32, every operand full-shape, 1-element, or a
+    broadcast row of an aligned (..., M) target; the full shape
+    contiguous with a multiple-of-128 element count >= 8 MiB.
     (Non-8-aligned remainder rows verified exact on hardware — DMAs are
     sublane-granular, so e.g. the (60, 60000) reference grid shape with
-    its 1469-row tail streams too.)"""
+    its 1469-row tail streams too. Broadcast rows additionally need
+    M % 128 == 0 and M/128 <= CHUNK_ROWS so tiles stay row-aligned.)"""
     if MODE == 'off':
         return False
-    full = [tuple(s) for s in shapes if int(np.prod(s) if s else 1) != 1]
-    if not full or len({s for s in full}) != 1:
+    cl = _classify(shapes)
+    if cl is None:
         return False
-    ne = int(np.prod(full[0]))
+    tgt, kinds = cl
+    ne = int(np.prod(tgt))
     if ne < MIN_ELEMS or ne % LANES:
         return False
     if any(np.dtype(d) != np.dtype(np.float32) for d in dtypes):
         return False
+    if 'brow' in kinds:
+        m = tgt[-1]
+        if m % LANES or m // LANES > CHUNK_ROWS:
+            return False
     if MODE == 'on':
         return True
     return not _interpret()
@@ -234,20 +314,24 @@ def stream_map_multi(
     out_dtypes: Sequence,
 ):
     """Multi-output streaming map. ``fn(*operands)`` (in the given order;
-    1-element operands arrive as scalars) returns len(out_dtypes) arrays
-    of the full shape."""
-    full_shape = next(tuple(a.shape) for a in arrays
-                      if int(np.prod(a.shape) or 1) != 1)
+    1-element operands arrive as scalars, broadcast rows as (M/128, 128)
+    VMEM-replicated slabs) returns len(out_dtypes) arrays of the full
+    shape."""
+    cl = _classify([tuple(a.shape) for a in arrays])
+    assert cl is not None, 'caller must check eligible()'
+    full_shape, kinds = cl
     ne = int(np.prod(full_shape))
 
-    stream_idx = [i for i, a in enumerate(arrays)
-                  if int(np.prod(a.shape) or 1) != 1]
-    scalar_idx = [i for i, a in enumerate(arrays) if i not in stream_idx]
+    stream_idx = [i for i, k in enumerate(kinds) if k == 'full']
+    brow_idx = [i for i, k in enumerate(kinds) if k == 'brow']
+    scalar_idx = [i for i, k in enumerate(kinds) if k == 'scalar']
     streamed = [arrays[i].reshape(-1, LANES) for i in stream_idx]
+    brow_tiles = (full_shape[-1] // LANES) if brow_idx else 1
+    brows = [arrays[i].reshape(brow_tiles, LANES) for i in brow_idx]
     scalars = [arrays[i].reshape(1) for i in scalar_idx]
 
-    # reorder fn operands: kernel passes (streamed..., scalars...)
-    order = stream_idx + scalar_idx
+    # reorder fn operands: kernel passes (streamed..., rows..., scalars...)
+    order = stream_idx + brow_idx + scalar_idx
     inv = [order.index(i) for i in range(len(arrays))]
 
     def kfn(*ops):
@@ -255,6 +339,9 @@ def stream_map_multi(
 
     total_rows = ne // LANES  # multiple of 8 (eligible: ne % 1024 == 0)
     rows = min(CHUNK_ROWS, total_rows)
+    if brow_idx:
+        # row-aligned tiles so the replicated row lines up
+        rows -= rows % brow_tiles
     rem_rows = total_rows % rows
     n_out = len(out_dtypes)
 
@@ -262,10 +349,11 @@ def stream_map_multi(
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
         functools.partial(
-            _map_kernel, kfn, len(streamed), len(scalars), n_out, rows,
-            rem_rows, DEPTH,
+            _map_kernel, kfn, len(streamed), len(brows), brow_tiles,
+            len(scalars), n_out, rows, rem_rows, DEPTH,
         ),
-        in_specs=[anyspec] * len(streamed) + [smem] * len(scalars),
+        in_specs=[anyspec] * (len(streamed) + len(brows))
+        + [smem] * len(scalars),
         out_specs=tuple([anyspec] * n_out),
         out_shape=tuple(
             jax.ShapeDtypeStruct((total_rows, LANES), dt)
@@ -276,5 +364,5 @@ def stream_map_multi(
             vmem_limit_bytes=96 * 2**20,
         ),
         interpret=_interpret(),
-    )(*streamed, *scalars)
+    )(*streamed, *brows, *scalars)
     return tuple(o.reshape(full_shape) for o in outs)

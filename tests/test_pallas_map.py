@@ -72,6 +72,51 @@ def test_stream_map_multi_output():
     assert all_close(np.asarray(gi), want.imag)
 
 
+@pytest.mark.parametrize('shape,rshape', [
+    ((16, 1024), (1, 1024)),     # aligned rows, tile multiple
+    ((16, 1024), (1024,)),       # 1-D row operand
+    ((17, 1024), (1, 1024)),     # remainder tile with brow
+    ((6, 2048), (1, 2048)),      # brow_tiles == 16 == CHUNK_ROWS/4
+])
+def test_stream_map_broadcast_row(shape, rshape):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal(shape).astype(np.float32)
+    r = rng.standard_normal(rshape).astype(np.float32)
+    assert pm.eligible((a.shape, r.shape), (a.dtype, r.dtype))
+    got = np.asarray(pm.stream_map(jnp.add, a, r))
+    assert all_close(got, a + r)
+    # reversed operand order too
+    got2 = np.asarray(pm.stream_map(jnp.subtract, r, a))
+    assert all_close(got2, r - a)
+
+
+def test_stream_map_brow_and_scalar():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(4)
+    a = rng.standard_normal((32, 512)).astype(np.float32)
+    r = rng.standard_normal((1, 512)).astype(np.float32)
+    got = np.asarray(pm.stream_map(
+        lambda x, y, s: x * y + s, a, r, np.float32(2.5)))
+    assert all_close(got, a * r + 2.5)
+
+
+def test_brow_eligibility_rules():
+    f32 = np.float32
+    ok = (8, 1024)
+    assert pm.eligible((ok, (1, 1024)), (f32, f32))
+    assert pm.eligible((ok, (1024,)), (f32, f32))
+    # unaligned row length -> XLA path
+    assert not pm.eligible(((60, 60000), (1, 60000)), (f32, f32))
+    # column broadcast -> XLA path
+    assert not pm.eligible((ok, (ok[0], 1)), (f32, f32))
+    # row longer than CHUNK_ROWS*128 -> XLA path
+    big_m = (pm.CHUNK_ROWS + 1) * 128
+    assert not pm.eligible(((8, big_m), (1, big_m)), (f32, f32))
+
+
 def test_eligibility_rules():
     big = (pm.MIN_ELEMS,)
     f32 = np.float32
