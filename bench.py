@@ -111,7 +111,6 @@ def chain_main() -> None:
 
     import dsc_tpu as dsc
     from dsc_tpu.fourier import core as fft_core
-    from dsc_tpu.fourier import plan as fft_plan
     from dsc_tpu.ops import kernels as ops_kernels
 
     dsc.init(int(8 * 2**30))
@@ -120,8 +119,9 @@ def chain_main() -> None:
     x = jnp.asarray(rng.standard_normal(n), jnp.float32)
     np.asarray(x[:1])  # establish the d2h sync path
 
-    spec = fft_plan.build_spec(n)
-    n1, n2 = spec[1], spec[2]
+    from dsc_tpu.fourier import pallas_stream as fft_ps
+
+    n1, n2 = fft_ps.factors(n)
 
     def rt_step(v):
         # hermitian-half T layout: contiguous half-width spectrum writes

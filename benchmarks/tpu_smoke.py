@@ -155,6 +155,48 @@ def main() -> int:
                 max(np.abs(np.asarray(gr) - w.real).max(),
                     np.abs(np.asarray(gi) - w.imag).max()), 1e-5)
 
+    # 2^25 / 2^26: the streaming path past FACTOR_MAX^2/4 (8192-factor
+    # slabs; VERDICT r2 item 3 — no size cliff below memory)
+    x25 = rng.standard_normal(2**25).astype(np.float32)
+    s25 = dsc.rfft(dsc.from_numpy(x25))
+    ref25 = np.fft.rfft(x25)
+    ok &= check('rfft 2^25 (8192x4096 stream)',
+                np.abs(s25.numpy() - ref25).max() / np.abs(ref25).max(),
+                1e-4)
+    b25 = dsc.irfft(s25)
+    ok &= check('irfft 2^25 roundtrip', np.abs(b25.numpy() - x25).max(),
+                2e-4)
+    del s25, b25, ref25
+    x26 = rng.standard_normal(2**26).astype(np.float32)
+    s26 = dsc.rfft(dsc.from_numpy(x26))
+    # full np.fft at 2^26 is heavy host-side; roundtrip + DC term pin it
+    v0 = s26[0]  # 1-element unwrap -> python scalar
+    v0 = v0 if isinstance(v0, complex) else complex(v0.numpy())
+    dc = abs(v0 - x26.sum()) / (abs(x26).sum() + 1)
+    ok &= check('rfft 2^26 DC term', dc, 1e-4)
+    b26 = dsc.irfft(s26)
+    ok &= check('irfft 2^26 roundtrip', np.abs(b26.numpy() - x26).max(),
+                5e-4)
+    del s26, b26, x26
+
+    # batched non-last-axis streaming (VERDICT r2 item 5)
+    xax = rng.standard_normal((2**18, 8)).astype(np.float32)
+    sax = dsc.rfft(dsc.from_numpy(xax), axis=0)
+    refax = np.fft.rfft(xax, axis=0)
+    ok &= check('batched rfft over axis 0 (2^18 x 8)',
+                np.abs(sax.numpy() - refax).max() / np.abs(refax).max(),
+                1e-4)
+    bax = dsc.irfft(sax, axis=0)
+    ok &= check('batched irfft over axis 0 roundtrip',
+                np.abs(bax.numpy() - xax).max(), 2e-4)
+
+    # broadcast-row streaming elementwise (VERDICT r2 item 2)
+    ab = rng.standard_normal((4096, 4096)).astype(np.float32)
+    rb = rng.standard_normal((1, 4096)).astype(np.float32)
+    gb2 = dsc.add(dsc.from_numpy(ab), dsc.from_numpy(rb))
+    ok &= check('pallas_map broadcast row (4096x4096 + 1x4096)',
+                float(np.abs(gb2.numpy() - (ab + rb)).max()), 1e-6)
+
     # complex pow on-chip: runs as exp(b*log a) on real planes — the one
     # dsc_ops.h specialization previously untested on TPU (VERDICT r2
     # item 4); must never touch XLA's native complex transcendental

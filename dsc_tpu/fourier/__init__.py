@@ -85,10 +85,11 @@ def _stream_1d(x: Tensor, ax: int, full_n: int):
     if batch != 1 and ax != x.n_dim - 1:
         # a real batch over a non-last axis needs a transpose; dense path
         return None
-    spec = plan.build_spec(full_n)
-    if not config.use_stream(np.complex64, batch, spec):
+    if not config.use_stream(np.complex64, batch, full_n):
         return None
-    return spec[1], spec[2]
+    from . import pallas_stream
+
+    return pallas_stream.factors(full_n)
 
 
 def _planar_out_shape(x: Tensor, ax: int, out_n: int):
@@ -201,6 +202,21 @@ def _fft_like(x: Tensor, out, n: int, axis: int, inverse: bool) -> Tensor:
                     tr.result = (yr, yi)
             return _planar_fft_result(yr, yi, x, ax, nn, hermitian=False)
 
+    # batched non-last-axis streaming: the moveaxis fuses into the same
+    # jit as the two-pass kernels (reference axis uniformity,
+    # dsc.cpp:2121-2142)
+    if (out is None and x.dtype in (Dtype.F32, Dtype.C32)
+            and ax != x.n_dim - 1 and _batch_of(x, ax) > 1
+            and config.use_stream(np.complex64, _batch_of(x, ax), nn)):
+        from . import pallas_stream as _ps
+
+        n1, n2 = _ps.factors(nn)
+        with tracing.trace_op(name, 'op;fft', tracing.tensor_args(x=x)) as tr:
+            res = core.fft_stream_axis(x.jax, n1, n2, ax, inverse)
+            if tr:
+                tr.result = res
+        return _finish(res, out)
+
     cdt = _work_cdtype(x.dtype)
     spec, tables = plan.get_plan(nn, 'complex', cdt)
     with tracing.trace_op(name, 'op;fft', tracing.tensor_args(x=x)) as tr:
@@ -246,6 +262,19 @@ def rfft(x: Tensor, out: Optional[Tensor] = None, n: int = -1, axis: int = -1) -
                     tr.result = (yr, yi)
             return _planar_fft_result(yr, yi, x, ax, full_n // 2 + 1,
                                       hermitian=True)
+
+    if (out is None and x.dtype == Dtype.F32 and ax != x.n_dim - 1
+            and _batch_of(x, ax) > 1
+            and config.use_stream(np.complex64, _batch_of(x, ax), full_n)):
+        from . import pallas_stream as _ps
+
+        n1, n2 = _ps.factors(full_n)
+        with tracing.trace_op('rfft', 'op;fft',
+                              tracing.tensor_args(x=x)) as tr:
+            res = core.rfft_stream_axis(x.jax, n1, n2, ax)
+            if tr:
+                tr.result = res
+        return _finish(res, out)
 
     cdt = _work_cdtype(x.dtype)
     spec, tables = plan.get_plan(full_n, 'real', cdt)
@@ -312,6 +341,19 @@ def irfft(x: Tensor, out: Optional[Tensor] = None, n: int = -1, axis: int = -1) 
             return Tensor._from_jax(
                 y.reshape(_planar_out_shape(x, ax, full_n))
             )
+
+    if (out is None and x.dtype == Dtype.C32 and ax != x.n_dim - 1
+            and _batch_of(x, ax) > 1
+            and config.use_stream(np.complex64, _batch_of(x, ax), full_n)):
+        from . import pallas_stream as _ps
+
+        n1, n2 = _ps.factors(full_n)
+        with tracing.trace_op('irfft', 'op;fft',
+                              tracing.tensor_args(x=x)) as tr:
+            res = core.irfft_stream_axis(x.jax, n1, n2, ax)
+            if tr:
+                tr.result = res
+        return _finish(res, out)
 
     cdt = DTYPE_TO_NP[x.dtype]
     spec, tables = plan.get_plan(full_n, 'real', cdt)

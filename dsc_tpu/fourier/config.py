@@ -51,18 +51,19 @@ def use_pallas(dtype, n: int) -> bool:
 STREAM_MAX_ELEMS = 2**27
 
 
-def use_stream(dtype, batch: int, spec) -> bool:
-    """Route a single-level ('split', n1, n2, base, base) transform —
-    single vector or a batch of rows — to the streaming two-pass kernel."""
+def use_stream(dtype, batch: int, n: int) -> bool:
+    """Route an n-point transform — single vector or a batch of rows —
+    to the streaming two-pass kernel. Factors come from
+    pallas_stream.factors(n) (up to FACTOR_MAX^2 = 2^26), independent of
+    the XLA path's base-kernel-bounded plan spec."""
     if STREAM_MODE == 'off' or batch < 1:
         return False
-    if spec[0] != 'split' or spec[3][0] != 'base' or spec[4][0] != 'base':
-        return False
-    if batch * spec[1] * spec[2] > STREAM_MAX_ELEMS:
+    if n & (n - 1) or batch * n > STREAM_MAX_ELEMS:
         return False
     from . import pallas_stream
 
-    if not pallas_stream.supported(spec[1], spec[2], dtype, batch):
+    n1, n2 = pallas_stream.factors(n)
+    if not pallas_stream.supported(n1, n2, dtype, batch):
         return False
     if STREAM_MODE == 'on':
         return True

@@ -119,11 +119,12 @@ def fft_batched_p(
 ) -> Planar:
     """(B, n) planar -> (B, n) planar, forward or inverse (1/n scaled)."""
     n = xr.shape[-1]
-    if _stream_ok(xr, spec):
+    if _stream_ok(xr, n):
         from . import pallas_stream
 
+        n1, n2 = pallas_stream.factors(n)
         return pallas_stream.fourstep_stream_p(
-            xr, xi, spec[1], spec[2], inverse
+            xr, xi, n1, n2, inverse
         )
     if inverse:
         yr, yi = fft_apply_p(xr, -xi, spec, tables)
@@ -132,11 +133,11 @@ def fft_batched_p(
     return fft_apply_p(xr, xi, spec, tables)
 
 
-def _stream_ok(xr: jax.Array, spec: Tuple) -> bool:
-    """Single large vector on TPU -> two-pass streaming kernel
+def _stream_ok(xr: jax.Array, n: int) -> bool:
+    """Large (B, n) rows on TPU -> two-pass streaming kernel
     (pallas_stream.py); everything else takes the XLA four-step."""
     cdtype = jnp.complex64 if xr.dtype == jnp.float32 else jnp.complex128
-    return config.use_stream(cdtype, xr.shape[0], spec)
+    return config.use_stream(cdtype, xr.shape[0], n)
 
 
 def _one_over(n, dtype):
@@ -160,11 +161,12 @@ def rfft_batched_p(
     b = x.shape[0]
     nh = n // 2
     if wu is None:
-        if _stream_ok(x, spec):
+        if _stream_ok(x, n):
             from . import pallas_stream
 
+            n1, n2 = pallas_stream.factors(n)
             yr, yi = pallas_stream.fourstep_stream_p(
-                x, None, spec[1], spec[2], inverse=False
+                x, None, n1, n2, inverse=False
             )
         else:
             yr, yi = fft_apply_p(x, jnp.zeros_like(x), spec, w_tables)
@@ -204,11 +206,12 @@ def irfft_batched_p(
         from .pallas_reconstruct import reconstruct_spectrum_p
 
         fr, fi = reconstruct_spectrum_p(xr, xi, n)
-        if _stream_ok(fr, spec):
+        if _stream_ok(fr, n):
             from . import pallas_stream
 
+            n1, n2 = pallas_stream.factors(n)
             yr, _ = pallas_stream.fourstep_stream_p(
-                fr, fi, spec[1], spec[2],
+                fr, fi, n1, n2,
                 inverse=True, real_output=True,
             )
             return yr
@@ -288,6 +291,60 @@ def _rows(x, n):
     shape to restore."""
     lead = x.shape[:-1]
     return _pad_crop(x.reshape(-1, x.shape[-1]), n), lead
+
+
+# ---- batched non-last-axis streaming entries ---------------------------
+# The reference treats all axes uniformly via dsc_axis_iterator
+# (dsc.cpp:2121-2142); here the moveaxis fuses into the same jit as the
+# streaming kernels, so a (B, n)-over-axis-0 batch pays two XLA
+# transposes instead of falling to the ~6-pass dense four-step
+# (VERDICT r2 item 5).
+
+
+@partial(jax.jit, static_argnames=('n1', 'n2', 'axis'))
+def rfft_stream_axis(x, n1, n2, axis):
+    from . import pallas_stream
+
+    n = n1 * n2
+    xm = jnp.moveaxis(x, axis, -1)
+    lead = xm.shape[:-1]
+    xb = _pad_crop(xm.reshape(-1, xm.shape[-1]), n)
+    yr, yi = pallas_stream.fourstep_stream_p(xb, None, n1, n2, False)
+    nh1 = n // 2 + 1
+    y = jax.lax.complex(yr[:, :nh1], yi[:, :nh1]).reshape(*lead, nh1)
+    return jnp.moveaxis(y, -1, axis)
+
+
+@partial(jax.jit, static_argnames=('n1', 'n2', 'axis'))
+def irfft_stream_axis(x, n1, n2, axis):
+    from . import pallas_stream
+    from .pallas_reconstruct import reconstruct_spectrum_p
+
+    n = n1 * n2
+    xm = jnp.moveaxis(x, axis, -1)
+    lead = xm.shape[:-1]
+    xb = _pad_crop(xm.reshape(-1, xm.shape[-1]), n // 2 + 1)
+    fr, fi = reconstruct_spectrum_p(jnp.real(xb), jnp.imag(xb), n)
+    yr, _ = pallas_stream.fourstep_stream_p(
+        fr, fi, n1, n2, inverse=True, real_output=True)
+    return jnp.moveaxis(yr.reshape(*lead, n), -1, axis)
+
+
+@partial(jax.jit, static_argnames=('n1', 'n2', 'axis', 'inverse'))
+def fft_stream_axis(x, n1, n2, axis, inverse):
+    from . import pallas_stream
+
+    n = n1 * n2
+    xm = jnp.moveaxis(x, axis, -1)
+    lead = xm.shape[:-1]
+    xb = _pad_crop(xm.reshape(-1, xm.shape[-1]), n)
+    if jnp.iscomplexobj(xb):
+        xr_, xi_ = jnp.real(xb), jnp.imag(xb)
+    else:
+        xr_, xi_ = xb.astype(jnp.float32), None
+    yr, yi = pallas_stream.fourstep_stream_p(xr_, xi_, n1, n2, inverse)
+    y = jax.lax.complex(yr, yi).reshape(*lead, n)
+    return jnp.moveaxis(y, -1, axis)
 
 
 # ---- fourstep T / half-T layout entries (pallas_stream_t.py) ----------

@@ -30,8 +30,8 @@ Mirror synthesis musts (axon-Mosaic): reversals have no TPU lowering ->
 sublane flip is one exchange matmul E_128 @ W, lane flips are per-128-
 block right-multiplies by E_128 (the flip maps block j to block T2-1-j
 exactly — no cross-block shift); the k1 = 0 row's different mirror
-(same-row, shifted by one) is a pltpu.roll lane shift blended in with
-a where(row==0) select.
+(same-row, shifted by one) is precomputed XLA-side and blended in with
+a where(row==0) select (wide in-kernel lane rolls SIGABRT Mosaic).
 
 Reference parity: the spectrum VALUES equal dsc_rfft's output
 (dsc.cpp:2173-2244) — only the in-memory order differs, and planar.py
@@ -114,8 +114,9 @@ def _phase_b_t_kernel(n1, n2, sign, scale, half, mode, *refs):
     r2 = n2 // r1
     nc = nc_for(n2, half)
     # half: produce only natural DFT rows [0, nc) — stage-2 tables sliced
-    # to ceil(nc / r1) rows (g3 mode only)
-    out_rows = nc if half else None
+    # to nc/r1 rows (g3 tables only; the stacked forms compute the full
+    # stage and the transpose loop below simply reads the [0, nc) prefix)
+    out_rows = nc if (half and mode == 'g3') else None
 
     def body(bufs_r0, bufs_r1, bufs_i0, bufs_i1,
              outs_r0, outs_r1, outs_i0, outs_i1, in_sems, out_sems):
@@ -201,26 +202,56 @@ def _inv_phase_a_t_kernel(n1, n2, half, mode, *refs):
     """Contiguous row-tile reads of the T/half spectrum, in-kernel mirror
     synthesis (half), n2-point inverse DFT + four-step twiddle, contiguous
     tile-blocked Z' writes. Tiles are processed in pairs (t, T-1-t) so the
-    half storage is read exactly once."""
-    (hr, hi, zr, zi) = refs
+    half storage is read exactly once.
+
+    Mosaic constraints (micro-bisected on hardware, probe_t_micro.py):
+    odd-row VMEM windows (129, nc) are rejected and pltpu.roll along
+    lanes of a multi-lane-tile array SIGABRTs the compiler — so each
+    129-row logical window is TWO aligned DMAs ((128, nc) + (8, nc) from
+    the next tile's first rows) and the k1=0 special row (a one-lane
+    shift of storage row 0) is computed XLA-side and passed in as a tiny
+    (8, nc) input, loaded to VMEM once."""
+    if half:
+        (hr, hi, fxr, fxi, zr, zi) = refs
+    else:
+        (hr, hi, zr, zi) = refs
+        fxr = fxi = None
     T = n1 // LANES
     T2 = n2 // LANES
     jm = (n2 // 2) // LANES  # the mixed direct/mirror block (col n2/2)
     nc = nc_for(n2, half)
-    wr_rows = 129 if half else 128
     r1 = 1 << ((n2.bit_length() - 1) // 2)
     r2 = n2 // r1
     n = n1 * n2
     n_units = T // 2
 
     def body(wa_r0, wa_r1, wa_i0, wa_i1, wb_r0, wb_r1, wb_i0, wb_i1,
-             outs_r0, outs_r1, outs_i0, outs_i1, in_sems, out_sems):
+             ea_r0, ea_r1, ea_i0, ea_i1, eb_r0, eb_r1, eb_i0, eb_i1,
+             fix_r, fix_i,
+             outs_r0, outs_r1, outs_i0, outs_i1, in_sems, out_sems,
+             fix_sems):
         wa_r = (wa_r0, wa_r1)
         wa_i = (wa_i0, wa_i1)
         wb_r = (wb_r0, wb_r1)
         wb_i = (wb_i0, wb_i1)
+        ea_r = (ea_r0, ea_r1)
+        ea_i = (ea_i0, ea_i1)
+        eb_r = (eb_r0, eb_r1)
+        eb_i = (eb_i0, eb_i1)
         outs_r = (outs_r0, outs_r1)
         outs_i = (outs_i0, outs_i1)
+
+        if half:
+            fcps = [
+                pltpu.make_async_copy(fxr, fix_r,
+                                      fix_sems.at[jnp.int32(0)]),
+                pltpu.make_async_copy(fxi, fix_i,
+                                      fix_sems.at[jnp.int32(1)]),
+            ]
+            for cp in fcps:
+                cp.start()
+            for cp in fcps:
+                cp.wait()
 
         def tiles(u):
             return u * jnp.int32(LANES), (jnp.int32(n1 - LANES)
@@ -229,16 +260,28 @@ def _inv_phase_a_t_kernel(n1, n2, half, mode, *refs):
         def in_dma(s, u):
             ra, rb = tiles(u)
             cps = []
-            for k, (row0, dst_r, dst_i) in enumerate(
-                ((ra, wa_r[s], wa_i[s]), (rb, wb_r[s], wb_i[s]))
+            for k, (row0, dst_r, dst_i, ext_r, ext_i) in enumerate(
+                ((ra, wa_r[s], wa_i[s], ea_r[s], ea_i[s]),
+                 (rb, wb_r[s], wb_i[s], eb_r[s], eb_i[s]))
             ):
                 roff = pl.multiple_of(row0, LANES)
                 cps.append(pltpu.make_async_copy(
-                    hr.at[pl.ds(roff, wr_rows), _ds0(nc)], dst_r,
+                    hr.at[pl.ds(roff, LANES), _ds0(nc)], dst_r,
                     in_sems.at[jnp.int32(s), jnp.int32(2 * k)]))
                 cps.append(pltpu.make_async_copy(
-                    hi.at[pl.ds(roff, wr_rows), _ds0(nc)], dst_i,
+                    hi.at[pl.ds(roff, LANES), _ds0(nc)], dst_i,
                     in_sems.at[jnp.int32(s), jnp.int32(2 * k + 1)]))
+                if half:
+                    # the window's 129th row = next tile's first rows
+                    # (aligned 8-row chunk; reads the PAD rows for the
+                    # last tile, zero-selected before the flip matmul)
+                    eoff = pl.multiple_of(row0 + jnp.int32(LANES), PAD_ROWS)
+                    cps.append(pltpu.make_async_copy(
+                        hr.at[pl.ds(eoff, PAD_ROWS), _ds0(nc)], ext_r,
+                        in_sems.at[jnp.int32(s), jnp.int32(4 + 2 * k)]))
+                    cps.append(pltpu.make_async_copy(
+                        hi.at[pl.ds(eoff, PAD_ROWS), _ds0(nc)], ext_i,
+                        in_sems.at[jnp.int32(s), jnp.int32(5 + 2 * k)]))
             return cps
 
         def out_dma(s, u):
@@ -268,39 +311,53 @@ def _inv_phase_a_t_kernel(n1, n2, half, mode, *refs):
         ar1_io = jax.lax.broadcasted_iota(
             jnp.int32, (r2, LANES), 0) * jnp.int32(r1)
         cv_io = jax.lax.broadcasted_iota(jnp.int32, (r2, LANES), 1)
-        row0 = jax.lax.broadcasted_iota(
-            jnp.int32, (LANES, nc), 0) == 0
-        last_row = jax.lax.broadcasted_iota(
-            jnp.int32, (LANES, nc), 0) == LANES - 1
+        # scalar-dependent masks are built by folding the traced scalar
+        # into IOTA ARITHMETIC before the compare: a 0-D bool broadcast
+        # against a 2-D array ("(1,1)->(rows,lanes)") has no Mosaic
+        # lowering and SIGABRTs the compiler (see pallas_reconstruct
+        # notes; reproduced bisecting this kernel)
+        row_io = jax.lax.broadcasted_iota(jnp.int32, (LANES, nc), 0)
         lane0 = jax.lax.broadcasted_iota(
             jnp.int32, (LANES, LANES), 1) == 0
 
-        def synth(u, first, dr, di, pr, pi):
+        def synth(u, first, dr, di, pr, pi, per, pei):
             """Full (n2, 128) planar slab (transposed) for one tile from
-            its direct window (d*) and its partner's window (p*)."""
+            its direct window (d*) and its partner's window (p*) + the
+            partner's 8-row extension (pe*, first row = the 129th window
+            row)."""
             if half:
                 # partner rows 1..128, sublane-flipped: row i holds
                 # H[n1 - 128t - (128 - i)] — mirror source for lane r
-                src_r = pr[1:129, :]
-                src_i = pi[1:129, :]
+                src_r = jnp.concatenate([pr[1:128, :], per[0:1, :]],
+                                        axis=0)
+                src_i = jnp.concatenate([pi[1:128, :], pei[0:1, :]],
+                                        axis=0)
                 if first:
-                    # unit 0's partner window ends at storage row n1 — a
-                    # PAD row. It only backs the k1=0 special (replaced
+                    # unit 0's partner extension row is storage row n1 —
+                    # a PAD row. It only backs the k1=0 special (replaced
                     # below), but the flip is a MATMUL: NaN*0 = NaN would
                     # poison every row, so zero it before flipping.
-                    gcond = (u == 0) & last_row
+                    # (u==0 AND row==127) without a scalar broadcast:
+                    gcond = (jnp.int32(LANES - 1) - row_io
+                             + jnp.int32(LANES) * u) == 0
                     src_r = jnp.where(gcond, 0.0, src_r)
                     src_i = jnp.where(gcond, 0.0, src_i)
                 wp_r = _flip_dot(e128, src_r)
                 wp_i = _flip_dot(e128, src_i)
                 if first:
                     # k1 = 0 (tile 0, row 0) mirrors its OWN row shifted
-                    # one: overwrite the (zero-backed) partner row
-                    fix_r = pltpu.roll(dr[0:128, :], jnp.int32(-1), 1)
-                    fix_i = pltpu.roll(di[0:128, :], jnp.int32(-1), 1)
-                    cond = (u == 0) & row0
-                    wp_r = jnp.where(cond, fix_r, wp_r)
-                    wp_i = jnp.where(cond, fix_i, wp_i)
+                    # one lane — precomputed XLA-side (fix buffers; a
+                    # wide lane roll has no Mosaic lowering) and blended
+                    # into the (zero-backed) partner row
+                    cond = (row_io + jnp.int32(LANES) * u) == 0
+                    wp_r = jnp.where(
+                        cond,
+                        jnp.broadcast_to(fix_r[0:1, :], (LANES, nc)),
+                        wp_r)
+                    wp_i = jnp.where(
+                        cond,
+                        jnp.broadcast_to(fix_i[0:1, :], (LANES, nc)),
+                        wp_i)
             blocks_r = []
             blocks_i = []
             for j in range(T2):
@@ -334,11 +391,13 @@ def _inv_phase_a_t_kernel(n1, n2, half, mode, *refs):
                 for cp in out_dma(s, u - 2):
                     cp.wait()
 
-            for k, (first, dr, di, pr, pi) in enumerate((
-                (True, wa_r[s], wa_i[s], wb_r[s], wb_i[s]),
-                (False, wb_r[s], wb_i[s], wa_r[s], wa_i[s]),
+            for k, (first, dr, di, pr, pi, per, pei) in enumerate((
+                (True, wa_r[s], wa_i[s], wb_r[s], wb_i[s],
+                 eb_r[s], eb_i[s]),
+                (False, wb_r[s], wb_i[s], wa_r[s], wa_i[s],
+                 ea_r[s], ea_i[s]),
             )):
-                sr, si = synth(u, first, dr, di, pr, pi)
+                sr, si = synth(u, first, dr, di, pr, pi, per, pei)
                 cr, ci = _dft_slab(sr, si, n2, r1, r2,
                                    mats1, mats2, tr, ti)
                 # tile index: ta = u for the first member, T-1-u second
@@ -373,20 +432,31 @@ def _inv_phase_a_t_kernel(n1, n2, half, mode, *refs):
 
     pl.run_scoped(
         body,
-        wa_r0=pltpu.VMEM((wr_rows, nc), jnp.float32),
-        wa_r1=pltpu.VMEM((wr_rows, nc), jnp.float32),
-        wa_i0=pltpu.VMEM((wr_rows, nc), jnp.float32),
-        wa_i1=pltpu.VMEM((wr_rows, nc), jnp.float32),
-        wb_r0=pltpu.VMEM((wr_rows, nc), jnp.float32),
-        wb_r1=pltpu.VMEM((wr_rows, nc), jnp.float32),
-        wb_i0=pltpu.VMEM((wr_rows, nc), jnp.float32),
-        wb_i1=pltpu.VMEM((wr_rows, nc), jnp.float32),
+        wa_r0=pltpu.VMEM((LANES, nc), jnp.float32),
+        wa_r1=pltpu.VMEM((LANES, nc), jnp.float32),
+        wa_i0=pltpu.VMEM((LANES, nc), jnp.float32),
+        wa_i1=pltpu.VMEM((LANES, nc), jnp.float32),
+        wb_r0=pltpu.VMEM((LANES, nc), jnp.float32),
+        wb_r1=pltpu.VMEM((LANES, nc), jnp.float32),
+        wb_i0=pltpu.VMEM((LANES, nc), jnp.float32),
+        wb_i1=pltpu.VMEM((LANES, nc), jnp.float32),
+        ea_r0=pltpu.VMEM((PAD_ROWS, nc), jnp.float32),
+        ea_r1=pltpu.VMEM((PAD_ROWS, nc), jnp.float32),
+        ea_i0=pltpu.VMEM((PAD_ROWS, nc), jnp.float32),
+        ea_i1=pltpu.VMEM((PAD_ROWS, nc), jnp.float32),
+        eb_r0=pltpu.VMEM((PAD_ROWS, nc), jnp.float32),
+        eb_r1=pltpu.VMEM((PAD_ROWS, nc), jnp.float32),
+        eb_i0=pltpu.VMEM((PAD_ROWS, nc), jnp.float32),
+        eb_i1=pltpu.VMEM((PAD_ROWS, nc), jnp.float32),
+        fix_r=pltpu.VMEM((PAD_ROWS, nc), jnp.float32),
+        fix_i=pltpu.VMEM((PAD_ROWS, nc), jnp.float32),
         outs_r0=pltpu.VMEM((2 * n2, LANES), jnp.float32),
         outs_r1=pltpu.VMEM((2 * n2, LANES), jnp.float32),
         outs_i0=pltpu.VMEM((2 * n2, LANES), jnp.float32),
         outs_i1=pltpu.VMEM((2 * n2, LANES), jnp.float32),
-        in_sems=pltpu.SemaphoreType.DMA((2, 4)),
+        in_sems=pltpu.SemaphoreType.DMA((2, 8)),
         out_sems=pltpu.SemaphoreType.DMA((2, 4)),
+        fix_sems=pltpu.SemaphoreType.DMA((2,)),
     )
 
 
@@ -507,7 +577,6 @@ def fourstep_to_t_p(
     mode = mode or DFT_MODE
     if half:
         assert xi is None, 'half layout implies a real input'
-        assert mode == 'g3', 'out_rows slicing is g3-only'
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
     interp = _interpret()
     nc = nc_for(n2, half)
@@ -560,8 +629,6 @@ def fourstep_from_t_p(
     to a flat natural-order (n,) result (1/n scaled). real_output drops
     the imaginary plane."""
     mode = mode or DFT_MODE
-    if half:
-        assert mode == 'g3'
     n = n1 * n2
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
     interp = _interpret()
@@ -570,9 +637,20 @@ def fourstep_from_t_p(
     # Z' tile-blocked intermediate: tile t's (n2, 128) slab at rows
     # [t*n2, (t+1)*n2) — n/128 rows total
     zp_rows = n // LANES
+    ins = (hr, hi)
+    if half:
+        # the k1=0 special mirror row: storage row 0 shifted one lane —
+        # precomputed here (a wide in-kernel lane roll SIGABRTs Mosaic),
+        # padded to an aligned 8-row chunk
+        nc = nc_for(n2, True)
+        fxr = jnp.broadcast_to(jnp.roll(hr[0:1, :nc], -1, axis=1),
+                               (PAD_ROWS, nc))
+        fxi = jnp.broadcast_to(jnp.roll(hi[0:1, :nc], -1, axis=1),
+                               (PAD_ROWS, nc))
+        ins = (hr, hi, fxr, fxi)
     zr, zi = pl.pallas_call(
         kernel_a,
-        in_specs=[anyspec] * 2,
+        in_specs=[anyspec] * len(ins),
         out_specs=(anyspec, anyspec),
         out_shape=(
             jax.ShapeDtypeStruct((zp_rows, LANES), jnp.float32),
@@ -581,7 +659,7 @@ def fourstep_from_t_p(
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=_vmem_limit(2 * n2)),
         interpret=interp,
-    )(hr, hi)
+    )(*ins)
 
     kernel_b = functools.partial(
         _inv_phase_b_zp_kernel, n1, n2, 1.0 / n, real_output, mode)

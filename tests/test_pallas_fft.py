@@ -238,9 +238,9 @@ def test_stream_fourstep_multi_group_batched():
 
     n1 = n2 = 256
     n = n1 * n2
-    b = 32
+    b = 2 * (ps.FACTOR_MAX // 256)  # force exactly two row groups
     g = ps._group(b, n1)
-    assert g == 16 and b // g == 2  # two groups
+    assert g == b // 2 and b // g == 2  # two groups
     rng = np.random.default_rng(23)
     xr = rng.standard_normal((b, n)).astype(np.float32)
     xi = rng.standard_normal((b, n)).astype(np.float32)
@@ -264,7 +264,11 @@ def test_stream_unsupported_when_grouping_degrades():
     # tiles); eligibility now gates on the ACHIEVABLE group size
     from dsc_tpu.fourier import pallas_stream as ps
 
-    assert not ps.supported(256, 256, np.complex64, batch=17)
+    # a prime batch larger than the max group shares no divisor -> g=1
+    bad = ps.FACTOR_MAX // 256 + 5
+    while any(bad % d == 0 for d in range(2, min(bad, 33))):
+        bad += 1
+    assert not ps.supported(256, 256, np.complex64, batch=bad)
     assert ps.supported(256, 256, np.complex64, batch=32)
     assert not ps.supported(256, 256, np.complex64, batch=1)
 

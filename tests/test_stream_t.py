@@ -97,6 +97,30 @@ def test_inverse_half_from_exact_spectrum(sig):
     assert np.abs(np.asarray(yr) - sig).max() < 2e-4
 
 
+def test_batched_axis0_streaming(monkeypatch):
+    # non-last-axis batches route through the streaming kernels with the
+    # moveaxis fused into the same jit (VERDICT r2 item 5; reference
+    # axis uniformity, dsc.cpp:2121-2142)
+    import dsc_tpu as dsc
+    from dsc_tpu.fourier import config as fft_config
+
+    monkeypatch.setattr(fft_config, 'STREAM_MODE', 'on')
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((2**18, 3)).astype(np.float32)
+    got = dsc.rfft(dsc.from_numpy(x), axis=0)
+    ref = np.fft.rfft(x, axis=0)
+    assert got.shape == ref.shape
+    assert np.abs(got.numpy() - ref).max() / np.abs(ref).max() < 3e-5
+    back = dsc.irfft(got, axis=0)
+    assert np.abs(back.numpy() - x).max() < 5e-4
+    xc = (x[:, :2] + 1j * x[:, 1:]).astype(np.complex64)
+    gf = dsc.fft(dsc.from_numpy(xc), axis=0)
+    rf = np.fft.fft(xc, axis=0)
+    assert np.abs(gf.numpy() - rf).max() / np.abs(rf).max() < 3e-5
+    gb = dsc.ifft(gf, axis=0)
+    assert np.abs(gb.numpy() - xc).max() < 5e-4
+
+
 def test_asymmetric_factors():
     # n = 2^19 -> n1=1024, n2=512: jm, nc, pairing all exercise the
     # non-square path
