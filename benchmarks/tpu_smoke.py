@@ -82,10 +82,12 @@ def main() -> int:
     ok &= check('planar filter chain (rfft*rfft->irfft)',
                 np.abs(conv.numpy() - refc).max() / np.abs(refc).max(), 1e-4)
 
-    # non-hermitian irfft: reconstruct kernel + inverse (complex-scalar
-    # multiply drops the hermitian flag -> reconstruction fallback)
+    # non-hermitian irfft: reconstruct kernel + inverse (a complex-scalar
+    # multiply breaks the conjugate mirror; half-T storage cannot
+    # represent that, so the op densifies — either way irfft takes the
+    # reconstruction fallback)
     rot = spec * (0.5 + 0.5j)
-    assert rot._planar is not None and not rot._planar.hermitian
+    assert rot._planar is None or not rot._planar.hermitian
     back2 = dsc.irfft(rot)
     ref2 = np.fft.irfft(ref * (0.5 + 0.5j), n)
     ok &= check('irfft via reconstruct kernel (non-hermitian)',
