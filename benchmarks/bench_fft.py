@@ -44,7 +44,7 @@ def main():
     print('== 1-D fft/rfft forward, f32/c32 (public API) ==')
     print(f'{"N":>9} {"dsc fft":>12} {"np fft":>12} {"dsc GF/s":>9} '
           f'{"np GF/s":>9} {"rfft GF/s":>10}')
-    for e in (range(8, 25, 2) if part in ('all', '1d') else ()):
+    for e in (range(8, 27, 2) if part in ('all', '1d') else ()):
         n = 2**e
         flops_c = 5 * n * e
         flops_r = 2.5 * n * e
@@ -63,7 +63,8 @@ def main():
         # the difference to rise above the tunnel's timing noise
         kb = max(8, min(64, 2**24 // n))
         td = bench(lambda: _sync(dsc.fft(xcd)), k_base=kb)
-        tn = bench_host(lambda: np.fft.fft(xc))
+        # host numpy at 2^26 needs ~1.5 GB of temporaries — skip above 2^24
+        tn = bench_host(lambda: np.fft.fft(xc)) if e <= 24 else float('nan')
         tr = bench(lambda: _sync(dsc.rfft(xrd)), k_base=kb)
         RESULTS.append({'bench': 'fft1d', 'log2n': e, 'fft_s': td,
                         'rfft_s': tr, 'numpy_fft_s': tn,
@@ -96,20 +97,43 @@ def main():
         print(f'  {b:5d} x 2^{e:<3}: dsc {td * 1e3:8.2f} ms ({gf:7.1f} GF/s)  '
               f'numpy {tn * 1e3:8.2f} ms  ({tn / td:6.2f}x)')
 
+    print('\n== batched over non-last axis (reference axis uniformity, '
+          'dsc.cpp:2121-2142) ==')
+    if part in ('all', 'batched'):
+        b, e = 64, 18
+        n = 2**e
+        x = np.random.randn(b, n).astype(np.float32)
+        xT = np.ascontiguousarray(x.T)  # (n, b): transform over axis 0
+        xd, xdT = dsc.from_numpy(x), dsc.from_numpy(xT)
+        t_last = bench(lambda: _sync2(dsc.rfft(xd)))
+        t_ax0 = bench(lambda: _sync2(dsc.rfft(xdT, axis=0)))
+        RESULTS.append({'bench': 'fft_axis', 'batch': b, 'log2n': e,
+                        'last_s': t_last, 'axis0_s': t_ax0,
+                        'ratio': t_ax0 / t_last})
+        _dump()
+        print(f'  rfft (64 x 2^{e}) axis=-1 {t_last * 1e3:.2f} ms vs '
+              f'axis=0 {t_ax0 * 1e3:.2f} ms  (x{t_ax0 / t_last:.2f})')
+
     print('\n== plan-cache stress (>16 plans) ==')
     t0 = time.perf_counter()
     n_plans = 0
-    for e in (range(6, 16) if part in ('all', 'stress') else ()):
-        for kind in ('c', 'r'):
-            n = 2**e
-            if kind == 'c':
-                x = dsc.from_numpy(
-                    (np.random.randn(n) + 0j).astype(np.complex64))
-                dsc.fft(x).jax.block_until_ready()
-            else:
-                x = dsc.from_numpy(np.random.randn(n).astype(np.float32))
-                dsc.rfft(x).jax.block_until_ready()
-            n_plans += 1
+    # 2^6-2^15 dense plans, then two STREAMING-sized plans (2^18, 2^20)
+    # so LRU eviction of big twiddle/kernel sets is exercised on-chip
+    # (VERDICT r2 #6; reference cache semantics dsc.cpp:182-267)
+    sizes = [(e, k) for e in range(6, 16) for k in ('c', 'r')] + \
+        [(18, 'r'), (20, 'r')]
+    for e, kind in (sizes if part in ('all', 'stress') else ()):
+        n = 2**e
+        if kind == 'c':
+            x = dsc.from_numpy(
+                (np.random.randn(n) + 0j).astype(np.complex64))
+            res = _sync2(dsc.fft(x))
+        else:
+            x = dsc.from_numpy(np.random.randn(n).astype(np.float32))
+            res = _sync2(dsc.rfft(x))
+        for a in (res if isinstance(res, tuple) else (res,)):
+            np.asarray(a.ravel()[:1])  # drain (PERF.md methodology)
+        n_plans += 1
     dt = time.perf_counter() - t0
     RESULTS.append({'bench': 'plan_stress', 'plans': n_plans, 'seconds': dt,
                     'cache_cap': fft_plan.MAX_FFT_PLANS,

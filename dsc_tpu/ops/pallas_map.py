@@ -55,6 +55,20 @@ MODE = os.environ.get('DSC_MAP_STREAM', 'auto')
 # round-robin A/B) — more in-flight 1-MiB DMAs hide per-tile latency.
 DEPTH = max(2, int(os.environ.get('DSC_MAP_DEPTH', '4')))
 
+# broadcast-row replication strategy inside the kernel (A/B-able):
+# 'vrep'   — replicate ONCE into a full (rows, 128) VMEM buffer at kernel
+#            start; per-tile cost identical to a same-shape operand
+# 'b3d'    — no materialization: reshape the tile to (reps, M/128, 128)
+#            and let the op broadcast the (1, M/128, 128) row
+# 'bcast'  — per-tile broadcast_to+reshape materialization
+# 'concat' — per-tile jnp.concatenate replication
+# 'repeat' — per-tile pltpu.repeat replication
+# On-chip round-robin A/B at 256 MiB (benchmarks/probe_brow.py): all
+# variants within noise of each other and ~1.4x faster than the
+# same-shape pair (matching the 3->2 HBM-pass traffic ratio); 'repeat'
+# had the best median.
+BROW_IMPL = os.environ.get('DSC_MAP_BROW_IMPL', 'repeat')
+
 
 def _ds0(size):
     return pl.ds(jnp.int32(0), size)
@@ -91,20 +105,32 @@ def _map_kernel(fn, n_stream, n_brow, brow_tiles, n_scalar, n_out, rows,
             scratch[ob0 + d * n_out:ob0 + (d + 1) * n_out]
             for d in range(depth)
         )
-        rbufs = scratch[ob0 + depth * n_out:
-                        ob0 + depth * n_out + n_brow]
+        nr = n_brow * (2 if BROW_IMPL == 'vrep' else 1)
+        rstage = scratch[ob0 + depth * n_out:ob0 + depth * n_out + n_brow]
+        rbufs = scratch[ob0 + depth * n_out + n_brow:
+                        ob0 + depth * n_out + nr] \
+            if BROW_IMPL == 'vrep' else rstage
         if n_brow:
             in_sems, out_sems, brow_sems = scratch[-3], scratch[-2], \
                 scratch[-1]
             rcps = [
                 pltpu.make_async_copy(
-                    brows[j], rbufs[j], brow_sems.at[jnp.int32(j)])
+                    brows[j], rstage[j], brow_sems.at[jnp.int32(j)])
                 for j in range(n_brow)
             ]
             for cp in rcps:
                 cp.start()
             for cp in rcps:
                 cp.wait()
+            if BROW_IMPL == 'vrep':
+                # one-time replication to full tile height; every tile
+                # then reads it like a same-shape operand (zero per-tile
+                # replication cost)
+                reps = rows // brow_tiles
+                for j in range(n_brow):
+                    rb = rstage[j][:]
+                    rbufs[j][:] = jnp.broadcast_to(
+                        rb[None], (reps,) + rb.shape).reshape(rows, LANES)
         else:
             in_sems, out_sems = scratch[-2], scratch[-1]
         svals = [s[0] for s in scalars]
@@ -115,11 +141,37 @@ def _map_kernel(fn, n_stream, n_brow, brow_tiles, n_scalar, n_out, rows,
             # == 0 by eligibility)
             out = []
             for j in range(n_brow):
+                if BROW_IMPL == 'vrep':
+                    out.append(rbufs[j][:])
+                    continue
                 rb = rbufs[j][:]
                 reps = r // brow_tiles
-                out.append(jnp.broadcast_to(
-                    rb[None], (reps,) + rb.shape).reshape(r, LANES))
+                if BROW_IMPL == 'concat':
+                    out.append(jnp.concatenate([rb] * reps, axis=0))
+                elif BROW_IMPL == 'repeat':
+                    out.append(pltpu.repeat(rb, reps, 0))
+                else:  # 'bcast'
+                    out.append(jnp.broadcast_to(
+                        rb[None], (reps,) + rb.shape).reshape(r, LANES))
             return out
+
+        def apply_fn(s):
+            xs = [bufs[s][j][:] for j in range(n_stream)]
+            if n_brow and BROW_IMPL == 'b3d':
+                # no materialization: broadcast the (1, M/128, 128) row
+                # inside the op itself
+                reps = rows // brow_tiles
+                x3 = [x.reshape(reps, brow_tiles, LANES) for x in xs]
+                r3 = [rbufs[j][:].reshape(1, brow_tiles, LANES)
+                      for j in range(n_brow)]
+                ys = fn(*x3, *r3, *svals)
+                if n_out == 1 and not isinstance(ys, (tuple, list)):
+                    ys = (ys,)
+                return [y.reshape(rows, LANES) for y in ys]
+            ys = fn(*xs, *rvals(rows), *svals)
+            if n_out == 1 and not isinstance(ys, (tuple, list)):
+                ys = (ys,)
+            return ys
 
         def in_dma(s, t, r=rows, row0=None):
             off = row0 if row0 is not None else \
@@ -148,10 +200,7 @@ def _map_kernel(fn, n_stream, n_brow, brow_tiles, n_scalar, n_out, rows,
             ]
 
         def step(s, t):
-            ys = fn(*[bufs[s][j][:] for j in range(n_stream)],
-                    *rvals(rows), *svals)
-            if n_out == 1 and not isinstance(ys, (tuple, list)):
-                ys = (ys,)
+            ys = apply_fn(s)
 
             @pl.when(t >= depth)
             def _():
@@ -172,10 +221,7 @@ def _map_kernel(fn, n_stream, n_brow, brow_tiles, n_scalar, n_out, rows,
                 cp.wait()
             # compute on the full buffer (tail rows are stale garbage,
             # dropped by the store) to keep one fn specialization
-            ys = fn(*[bufs[s][j][:] for j in range(n_stream)],
-                    *rvals(rows), *svals)
-            if n_out == 1 and not isinstance(ys, (tuple, list)):
-                ys = (ys,)
+            ys = apply_fn(s)
             for j in range(n_out):
                 obufs[s][j][:] = ys[j]
             for cp in out_dma(s, tt, r=r, row0=row0):
@@ -227,6 +273,8 @@ def _map_kernel(fn, n_stream, n_brow, brow_tiles, n_scalar, n_out, rows,
            for _ in range(depth) for j in range(n_out)]
         + [pltpu.VMEM((brow_tiles, LANES), brows[j].dtype)
            for j in range(n_brow)]
+        + ([pltpu.VMEM((rows, LANES), brows[j].dtype)
+            for j in range(n_brow)] if BROW_IMPL == 'vrep' else [])
         + [pltpu.SemaphoreType.DMA((depth, n_stream)),
            pltpu.SemaphoreType.DMA((depth, n_out))]
         + ([pltpu.SemaphoreType.DMA((n_brow,))] if n_brow else [])

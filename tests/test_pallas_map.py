@@ -92,6 +92,20 @@ def test_stream_map_broadcast_row(shape, rshape):
     assert all_close(got2, r - a)
 
 
+@pytest.mark.parametrize('impl', ['vrep', 'b3d', 'bcast', 'concat', 'repeat'])
+def test_stream_map_brow_impls(impl, monkeypatch):
+    # every replication strategy (DSC_MAP_BROW_IMPL) must agree; the
+    # default is chosen by on-chip A/B (benchmarks/probe_brow.py)
+    import jax.numpy as jnp
+
+    monkeypatch.setattr(pm, 'BROW_IMPL', impl)
+    rng = np.random.default_rng(impl.encode()[0])
+    a = rng.standard_normal((100, 384)).astype(np.float32)  # brow_tiles=3
+    r = rng.standard_normal((1, 384)).astype(np.float32)
+    got = np.asarray(pm.stream_map(jnp.add, a, r))
+    assert all_close(got, a + r)
+
+
 def test_stream_map_brow_and_scalar():
     import jax.numpy as jnp
 
