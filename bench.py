@@ -65,9 +65,13 @@ def _drain(t) -> None:
 
 def bench_eager(step, state, k_base: int = K_BASE) -> float:
     """Marginal per-op time of the eager public-API op ``state = step(state)``
-    via pipelined-dispatch differencing; median of paired samples. The
-    DEPENDENT feedback chain rules out any same-arguments execution
-    caching in the runtime."""
+    via pipelined-dispatch differencing: difference of MEDIANS of
+    interleaved t(k)/t(2k) samples (robust to tunnel latency spikes that
+    drive a median-of-paired-differences negative). The DEPENDENT
+    feedback chain rules out any same-arguments execution caching in the
+    runtime. Retries on a non-positive difference; as the driver-run
+    headline must always print, the last resort is the positive floor of
+    the observed per-op upper bound t(2k)/(2k) rather than an error."""
     _drain(step(state))  # warm + establish the d2h sync path
     state = step(state)
     _drain(state)
@@ -80,13 +84,21 @@ def bench_eager(step, state, k_base: int = K_BASE) -> float:
         return time.perf_counter() - t0, s
 
     _, state = t(k_base, state)  # pair-priming throwaway
-    samples = []
-    for _ in range(REPS):
-        t1, state = t(k_base, state)
-        t2, state = t(2 * k_base, state)
-        samples.append((t2 - t1) / k_base)
-    samples.sort()
-    return max(samples[len(samples) // 2], 1e-9)
+    t2_med = None
+    for _attempt in range(3):
+        t1s, t2s = [], []
+        for _ in range(REPS):
+            t1, state = t(k_base, state)
+            t2, state = t(2 * k_base, state)
+            t1s.append(t1)
+            t2s.append(t2)
+        t2_med = sorted(t2s)[len(t2s) // 2]
+        d = (t2_med - sorted(t1s)[len(t1s) // 2]) / k_base
+        if d > 0:
+            return d
+    print('# bench_eager: non-positive marginal after 3 attempts; '
+          'reporting t(2k)/2k upper bound', file=sys.stderr)
+    return t2_med / (2 * k_base)
 
 
 def bench_host(fn) -> float:

@@ -205,6 +205,24 @@ def size_sweep():
         dump()
         print(f'2^{log2n:<8} {cells[0]:>22} {cells[1]:>22} {cells[2]:>22}')
 
+    print('\n== f64 add at scale (XLA fused path; Mosaic has no f64 '
+          'vector support on this backend — PERF.md backlog #4) ==')
+    for log2n in [s for s in sizes if s in (22, 24, 25)]:
+        ne = 2**log2n
+        rows = max(ne // 4096, 1)
+        x64 = dsc.randn((rows, ne // rows), dtype=dsc.Dtype.F64)
+        y64 = dsc.randn((rows, ne // rows), dtype=dsc.Dtype.F64)
+        o64 = dsc.empty((rows, ne // rows), dtype=dsc.Dtype.F64)
+        if have('sweep', op='add/f64', log2n=log2n):
+            continue
+        t = bench(lambda: dsc.add(x64, y64, out=o64).jax,
+                  k_base=max(8, min(64, 2**23 // ne)))
+        gbs = 3 * ne * 8 / t / 1e9
+        record(bench='sweep', op='add/f64', log2n=log2n, dsc_s=t, gbs=gbs)
+        dump()
+        print(f'  2^{log2n:2d} ({ne * 8 / 2**20:8.2f} MiB): '
+              f'{t * 1e6:9.1f} us  {gbs:7.1f} GB/s')
+
     print('\n== reduction size sweep (f32 sum, axis=-1) ==')
     for log2n in [s for s in (sizes if only else range(12, 27, 2))
                   if s >= 12]:
@@ -221,6 +239,135 @@ def size_sweep():
               f'{t * 1e6:9.1f} us  {gbs:7.1f} GB/s')
 
 
+def device_sweep():
+    """Jit-chained DEVICE time at 64-512 MiB (PERF.md measurement level 2).
+
+    The eager sweep above pays the tunnel's ~0.4-1 ms/op client dispatch
+    marginal, which floors every size below ~256 MiB at dispatch rate,
+    not device rate. This sweep times straight-line chains of k dependent
+    kernel calls inside ONE jit (per-op = (t(2k) - t(k))/k, the
+    while-carry copy artifact avoided per PERF.md) — the steady-state
+    device time a local caller would see. Rows are recorded as
+    bench='sweep_device' ALONGSIDE the eager rows: two methodologies,
+    both visible, never min()'d together (ADVICE r2)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from utils import _rearm
+    from utils import bench as ubench
+    from dsc_tpu.ops import kernels as ops_kernels
+
+    only = os.environ.get('DSC_SWEEP_SIZES')
+    # >= 2^24 only: below that the 32 MiB chain intermediates become
+    # VMEM-resident on this 128-MiB-VMEM chip (a real perf feature of
+    # in-jit composition, but not a per-op HBM rate — measured 1.4 TB/s
+    # "bandwidth" at 2^23)
+    sizes = [s for s in ([int(s) for s in only.split(',')] if only
+                         else [24, 25, 26]) if s >= 24]
+
+    def chain_time(step, state, extra, kin):
+        # ``extra`` is an explicit argument: a device array CLOSED OVER
+        # by a jitted chain serializes as an HLO constant, and a 256 MiB
+        # constant 413s the remote compiler (PERF.md pathology list).
+        #
+        # Measurement structure: differencing t(2k)-t(k) of two LONG
+        # chains cannot resolve a few-ms difference against the tunnel
+        # sync's multi-ms two-sided jitter (tried; min-of-5 still left
+        # physically impossible rows). Instead the inner chain is sized
+        # so its DEVICE time (~6 ms) dominates the ~1 ms eager dispatch
+        # marginal, and the chain itself is timed as one pipelined eager
+        # op by the robust utils.bench outer differencing — per-op =
+        # chain marginal / kin.
+        _rearm()
+
+        @functools.partial(jax.jit, static_argnames=('k',))
+        def chain(s, o, k):
+            for _ in range(k):
+                s = step(s, o)
+            return s
+
+        jax.block_until_ready(chain(state, extra, k=kin))  # compile
+        # outer FEEDBACK loop: the runtime caches same-arguments
+        # executions (the reason bench.py uses dependent chains), so the
+        # chain result must become the next call's input
+        holder = [state]
+
+        def outer():
+            holder[0] = chain(holder[0], extra, k=kin)
+            return holder[0]
+
+        return ubench(outer, k_base=8) / kin
+
+    print('\n== device-time sweep (jit chains; bench=sweep_device) ==')
+    rng = np.random.default_rng(7)
+    for log2n in sizes:
+        ne = 2**log2n
+        rows = max(ne // 4096, 1)
+        cols = ne // rows
+        # inner-chain length targeting ~10 ms of device time per chain
+        # call (at the ~740 GB/s streaming rate): the chain must dominate
+        # both the ~1 ms/dispatch client marginal and the tunnel sync's
+        # multi-ms jitter once differenced over k_base=8 outer calls
+        kb = max(8, min(72, int(10e-3 / (3 * ne * 4 / 740e9))))
+        x = jnp.asarray(rng.standard_normal((rows, cols)), jnp.float32)
+        y = jnp.asarray(rng.standard_normal((rows, cols)), jnp.float32)
+        row = jnp.asarray(rng.standard_normal((1, cols)), jnp.float32)
+        sca = jnp.float32(1.5).reshape(1, 1)
+        np.asarray(x.ravel()[:1])  # establish the d2h sync path
+        f32_step = lambda s, o: ops_kernels.add(s, o, np.float32)  # noqa: E731
+        variants = [
+            ('same', f32_step, y, 3, 4),
+            ('scalar', f32_step, sca, 2, 4),
+            ('bcast', f32_step, row, 2, 4),
+        ]
+        # XLA-path stages (f64, sum) need an optimization_barrier between
+        # chain stages: XLA loop-fuses k chained elementwise stages into
+        # ONE pass over the operands (correct, and great for real users,
+        # but it measures fusion, not per-op streaming — 2 TB/s "rates").
+        # The pallas stages are opaque custom calls and need none.
+        barrier = jax.lax.optimization_barrier
+        if jax.config.jax_enable_x64:
+            x64 = jnp.asarray(rng.standard_normal((rows, cols)), jnp.float64)
+            y64 = jnp.asarray(rng.standard_normal((rows, cols)), jnp.float64)
+            # f64 rides XLA — no Mosaic f64 vector path (PERF.md backlog)
+            variants.append(
+                ('f64', lambda s, o: barrier(
+                    ops_kernels.add(s, o, np.float64)),
+                 y64, 3, 8))
+        # axis=-1 reduction: max(o, bcast(s)) feeds the reduced value
+        # back in a form the algebraic simplifier cannot rewrite
+        # (sum(o + bcast(s)) = sum(o) + n*s WOULD be); 1 read of o/stage.
+        # The mod keeps the feedback BOUNDED AND NON-REPEATING — a
+        # sum(max(...)) chain saturates to a bitwise-identical fixed
+        # point within one call, and identical argument values hit the
+        # runtime's same-arguments execution cache (measured 9.5 TB/s)
+        variants.append(
+            ('sum', lambda s, o: barrier(jnp.mod(
+                jnp.sum(jnp.maximum(o, s), axis=-1, keepdims=True) * 1e-3,
+                1.0)),
+             y, 1, 4))
+        sum0 = jnp.zeros((rows, 1), jnp.float32)
+        cells = []
+        for label, step, extra, passes, width in variants:
+            if have('sweep_device', op=f'add/{label}', log2n=log2n):
+                cells.append('(kept)')
+                continue
+            state = sum0 if label == 'sum' else (
+                x64 if label == 'f64' else x)
+            t = chain_time(step, state, extra, kb)
+            # ACTUAL HBM traffic per op (same=2 reads+1 write; scalar and
+            # bcast read 1 full operand + write 1 — the row/scalar operand
+            # is negligible), unlike the eager sweep's nominal 3-pass
+            gbs = passes * ne * width / t / 1e9
+            record(bench='sweep_device', op=f'add/{label}', log2n=log2n,
+                   dsc_s=t, gbs=gbs, passes=passes, itemsize=width)
+            dump()
+            cells.append(f'{label} {t * 1e6:8.1f}us {gbs:6.1f}GB/s')
+        print(f'2^{log2n:<4} ' + '  '.join(cells))
+
+
 def main():
     dsc.init(int(8 * 2**30))
     part = os.environ.get('DSC_BENCH_PART', 'all')
@@ -228,6 +375,8 @@ def main():
         reference_workloads()
     if part in ('all', 'sweep'):
         size_sweep()
+    if part in ('all', 'device'):
+        device_sweep()
     dump()
     print(f'\n{len(RESULTS)} measurements -> {OUT_PATH}')
 

@@ -59,8 +59,13 @@ def _drain(r) -> None:
 
 def bench(fn, k_base: int = K_BASE) -> float:
     """Marginal per-op time of the eager op ``fn()`` (public API), via
-    pipelined-dispatch differencing; median of per-rep paired differences
-    (tunnel latency noise makes a difference-of-minima go negative)."""
+    pipelined-dispatch differencing: difference of MEDIANS of interleaved
+    t(k)/t(2k) samples. (A median of paired differences — the previous
+    estimator — goes negative under tunnel latency spikes and used to be
+    clamped to 1e-9, leaving physically impossible rows in the results;
+    medians of each population first are robust to the spikes.) A
+    non-positive difference after 3 attempts raises instead of recording
+    garbage — the suites' per-row merge/resume machinery retries it."""
     _rearm()
     for _ in range(WARMUP):
         jax.block_until_ready(fn())
@@ -74,10 +79,17 @@ def bench(fn, k_base: int = K_BASE) -> float:
         return time.perf_counter() - t0
 
     t(k_base)  # one throwaway pair-priming run after warmup
-    samples = sorted(
-        (t(2 * k_base) - t(k_base)) / k_base for _ in range(BENCH_STEPS)
-    )
-    return max(samples[len(samples) // 2], 1e-9)
+    for _attempt in range(3):
+        t1s, t2s = [], []
+        for _ in range(BENCH_STEPS):
+            t1s.append(t(k_base))
+            t2s.append(t(2 * k_base))
+        d = (sorted(t2s)[len(t2s) // 2] - sorted(t1s)[len(t1s) // 2]) / k_base
+        if d > 0:
+            return d
+    raise RuntimeError(
+        f'bench: non-positive marginal after 3 attempts (k={k_base}); '
+        'tunnel too noisy for this measurement')
 
 
 def bench_host(fn) -> float:
