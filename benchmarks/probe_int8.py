@@ -99,13 +99,17 @@ def main():
         variants[name] = (step, a, x)
 
     def marginal(step, a, x):
+        # x feeds back through the chain: the runtime caches
+        # same-arguments executions (identical-args timing loops measure
+        # the cache, not the device)
+        s = x
+
         def t(k):
-            r = None
+            nonlocal s
             t0 = time.perf_counter()
             for _ in range(k):
-                r = step(a, x)
-            jax.block_until_ready(r)
-            _drain(r)
+                s = step(a, s)
+            _drain(s)
             return time.perf_counter() - t0
 
         t(K)
