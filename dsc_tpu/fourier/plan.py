@@ -22,6 +22,7 @@ import threading
 from collections import OrderedDict
 from typing import Any, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -132,6 +133,22 @@ def get_plan(n: int, fft_type: str, cdtype) -> Tuple[Tuple, Any]:
             _plans.move_to_end(key)
             return _plans[key]
 
+    # A plan may be built mid-trace (the first FFT inside a dsc.compile
+    # region, fuse.py); without this the jnp.asarray constants would be
+    # DynamicJaxprTracers and caching them would leak the trace
+    # (UnexpectedTracerError on the next lookup). Tables must be concrete
+    # device arrays no matter who triggers the build.
+    with jax.ensure_compile_time_eval():
+        spec, tables = _build_plan(n, fft_type, cdtype)
+
+    with _lock:
+        _plans[key] = (spec, tables)
+        while len(_plans) > MAX_FFT_PLANS:
+            _plans.popitem(last=False)
+    return spec, tables
+
+
+def _build_plan(n: int, fft_type: str, cdtype) -> Tuple[Tuple, Any]:
     if fft_type == 'real':
         if n > RFFT_PACK_MAX:
             # Large real transforms run through the full-size complex engine:
@@ -150,9 +167,4 @@ def get_plan(n: int, fft_type: str, cdtype) -> Tuple[Tuple, Any]:
     else:
         spec = build_spec(n)
         tables = _build_tables(spec, cdtype)
-
-    with _lock:
-        _plans[key] = (spec, tables)
-        while len(_plans) > MAX_FFT_PLANS:
-            _plans.popitem(last=False)
     return spec, tables

@@ -60,11 +60,21 @@ class _Buffer:
     device array; registers its bytes with the context arena accounting.
 
     ``version`` bumps on every write-through so views can refresh lazily.
+
+    Under a ``dsc.compile`` trace (fuse.py) the array is a jax Tracer with
+    no storage; arena accounting is skipped — the real bytes are accounted
+    when the compiled program's concrete outputs are rewrapped.
     """
 
     __slots__ = ('arr', 'version', 'nbytes', '__weakref__')
 
     def __init__(self, arr: jax.Array):
+        leaf = arr.re if isinstance(arr, Planar) else arr
+        if isinstance(leaf, jax.core.Tracer):
+            self.arr = arr
+            self.nbytes = 0
+            self.version = 0
+            return
         ctx = _get_ctx()
         nbytes = int(arr.nbytes)
         ctx.alloc(nbytes)
