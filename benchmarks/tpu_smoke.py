@@ -261,6 +261,23 @@ def main() -> int:
     ok &= check('STFT forward (finite, shaped)',
                 0.0 if np.isfinite(S.numpy()).all() else 1.0, 0.5)
 
+    # dsc.compile: the filterFFT chain as ONE fused XLA program, with the
+    # planar/hermitian spectrum crossing the trace boundary (fuse.py)
+    @dsc.compile
+    def fused_filt(s, t):
+        return dsc.irfft(dsc.rfft(s, n=2**21) * dsc.rfft(t, n=2**21))
+
+    sc = rng.standard_normal(2**20).astype(np.float32)
+    tc = np.blackman(255).astype(np.float32)
+    outc = fused_filt(dsc.from_numpy(sc), dsc.from_numpy(tc))
+    refcv = np.fft.irfft(np.fft.rfft(sc, 2**21) * np.fft.rfft(tc, 2**21))
+    ok &= check('dsc.compile filterFFT 2^20 (one program)',
+                np.abs(outc.numpy() - refcv).max() / np.abs(refcv).max(),
+                1e-4)
+    fused_filt(dsc.from_numpy(sc), dsc.from_numpy(tc))
+    ok &= check('dsc.compile program cache (1 program, 2 calls)',
+                0.0 if fused_filt.n_programs == 1 else 1.0, 0.5)
+
     with open(RESULTS_PATH, 'w') as f:
         json.dump({'ok': bool(ok), 'n_checks': len(rows),
                    'backend': backend,
