@@ -3,6 +3,9 @@ README.md:110-137): out = irfft(rfft(signal) * rfft(taps))[:n+taps-1].
 
 ``FilterFFT`` precomputes the kernel spectrum once (the "weights") and
 reuses it across calls — the TPU-idiomatic shape for a streaming filter.
+Each block runs through ONE ``dsc.compile`` program (rfft + spectrum
+multiply + irfft + crop fused into a single device dispatch), instead of
+the reference's one-C-call-per-op eager chain.
 """
 
 from __future__ import annotations
@@ -13,6 +16,7 @@ import numpy as np
 
 from ..fourier import irfft, rfft
 from ..fourier.plan import next_pow2
+from ..fuse import compile as _compile
 from ..tensor import Tensor, from_numpy, mul
 
 
@@ -48,6 +52,13 @@ class FilterFFT:
         self.out_len = block_size + self.n_taps - 1
         self.fft_n = next_pow2(self.out_len)
         self.kernel_spec = rfft(taps, n=self.fft_n)
+        fft_n, out_len = self.fft_n, self.out_len
+
+        @_compile
+        def _step(block: Tensor, kspec: Tensor) -> Tensor:
+            return irfft(mul(rfft(block, n=fft_n), kspec))[:out_len]
+
+        self._step = _step
 
     def __call__(self, block: Tensor) -> Tensor:
         if block.shape[-1] != self.block_size:
@@ -55,5 +66,4 @@ class FilterFFT:
                 f'expected block of {self.block_size} samples, '
                 f'got {block.shape[-1]}'
             )
-        spec = mul(rfft(block, n=self.fft_n), self.kernel_spec)
-        return irfft(spec)[: self.out_len]
+        return self._step(block, self.kernel_spec)

@@ -20,14 +20,18 @@ from ..fourier import plan as fft_plan
 from ..tensor import Tensor
 
 
-@partial(jax.jit, static_argnames=('frame', 'hop', 'n_frames'))
-def _frame_signal(x, frame, hop, n_frames):
+@partial(
+    jax.jit,
+    static_argnames=('frame', 'hop', 'n_frames', 'spec', 'fft_n', 'log_eps'),
+)
+def _stft_program(x, window, tables, frame, hop, n_frames, spec, fft_n,
+                  log_eps):
+    """The whole pipeline (frame -> window -> rfft -> power -> log) as ONE
+    XLA program: framing lowers to pure data movement that feeds the rfft
+    input pass directly, and the power/log epilogue fuses into the last
+    FFT stage's output — one device dispatch per call."""
     idx = jnp.arange(n_frames) * hop
-    return jax.vmap(lambda i: jax.lax.dynamic_slice(x, (i,), (frame,)))(idx)
-
-
-@partial(jax.jit, static_argnames=('spec', 'fft_n', 'log_eps'))
-def _stft_kernel(frames, window, tables, spec, fft_n, log_eps):
+    frames = jax.vmap(lambda i: jax.lax.dynamic_slice(x, (i,), (frame,)))(idx)
     fx = frames * window[None, :]
     z = fft_core.rfft_batched(fx, spec, tables, fft_n)
     power = jnp.real(z) ** 2 + jnp.imag(z) ** 2
@@ -71,9 +75,9 @@ class STFT:
         with tracing.trace_op(
             'stft', 'op;pipeline', tracing.tensor_args(x=x)
         ) as tr:
-            frames = _frame_signal(x.jax, self.frame, self.hop, n_frames)
-            out = _stft_kernel(
-                frames, self._window, tables, spec, self.fft_n, self.log_eps
+            out = _stft_program(
+                x.jax, self._window, tables, self.frame, self.hop,
+                n_frames, spec, self.fft_n, self.log_eps,
             )
             if tr:
                 tr.result = out

@@ -35,6 +35,20 @@ def test_filter_fft_streaming_matches_convolve():
     assert np.abs(got - ref).max() < 1e-4 * max(np.abs(ref).max(), 1.0)
 
 
+def test_filter_fft_one_program_across_blocks():
+    # the streaming step is ONE dsc.compile program (rfft+mul+irfft+crop
+    # fused); repeated blocks of the same shape must reuse it, and every
+    # block must still match np.convolve
+    taps = np.random.randn(17).astype(np.float32)
+    filt = FilterFFT(taps, block_size=128)
+    for _ in range(3):
+        block = np.random.randn(128).astype(np.float32)
+        got = filt(dsc.from_numpy(block)).numpy()
+        ref = np.convolve(block, taps)
+        assert np.abs(got - ref).max() < 1e-4 * max(np.abs(ref).max(), 1.0)
+    assert filt._step.n_programs == 1
+
+
 def _np_stft_power(x, frame, hop, window):
     n_frames = 1 + (len(x) - frame) // hop
     out = []
