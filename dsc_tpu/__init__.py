@@ -21,6 +21,7 @@ from .context import (
 from .dtype import Dtype
 from .fourier import fft, fftfreq, ifft, irfft, plan_fft, rfft, rfftfreq
 from .fuse import compile  # noqa: A004 — dsc.compile, the fusion tier
+from .parallel import make_mesh
 from .profiler import profile, start_recording, stop_recording
 from .tensor import (
     Tensor,
@@ -76,6 +77,7 @@ __all__ = [
     'print_mem_usage',
     'manual_seed',
     'compile',
+    'make_mesh',
     'Tensor',
     'Dtype',
     'from_numpy',

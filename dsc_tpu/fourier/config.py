@@ -34,7 +34,9 @@ def _on_tpu() -> bool:
 
 
 def use_pallas(dtype, n: int) -> bool:
-    if PALLAS_MODE == 'off':
+    from .. import flags
+
+    if PALLAS_MODE == 'off' or flags.xla_only_active():
         return False
     if np.dtype(dtype) != np.complex64:
         return False
@@ -56,7 +58,9 @@ def use_stream(dtype, batch: int, n: int) -> bool:
     to the streaming two-pass kernel. Factors come from
     pallas_stream.factors(n) (up to FACTOR_MAX^2 = 2^26), independent of
     the XLA path's base-kernel-bounded plan spec."""
-    if STREAM_MODE == 'off' or batch < 1:
+    from .. import flags
+
+    if STREAM_MODE == 'off' or flags.xla_only_active() or batch < 1:
         return False
     if n & (n - 1) or batch * n > STREAM_MAX_ELEMS:
         return False

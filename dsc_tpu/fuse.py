@@ -43,14 +43,16 @@ single ``compile:<name>`` event instead (tracing.py).
 
 from __future__ import annotations
 
+import functools
 import os
 from collections import OrderedDict
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-from . import tracing
+from . import flags, tracing
 from .planar import Planar
 from .tensor import Tensor, from_numpy
 
@@ -136,28 +138,107 @@ _SLOT_TENSOR = 't'
 _SLOT_STATIC = 's'
 
 
+def _leaf_shardings_of(spec: Tuple, pspec, mesh: Mesh) -> List:
+    """Per-leaf NamedShardings for one argument Tensor whose layout spec is
+    ``spec`` and whose user-requested logical PartitionSpec is ``pspec``.
+
+    Dense tensors have one leaf of the logical shape; plain planar complex
+    tensors have two leaves each of the logical shape, so the same
+    PartitionSpec applies to both planes. Hermitian-half / fourstep layouts
+    store planes whose shape differs from the logical one — a logical spec
+    cannot be mapped onto them, so sharded complex arguments must enter in
+    the plain planar layout (any freshly uploaded complex tensor is)."""
+    if pspec is None:
+        pspec = PartitionSpec()
+    s = NamedSharding(mesh, pspec)
+    if spec[0] == 'd':
+        return [s]
+    _, _view, _pshape, herm, fourstep = spec
+    if herm or fourstep:
+        raise RuntimeError(
+            'dsc.compile(mesh=...): cannot shard a hermitian-half/fourstep '
+            'planar tensor; pass the plain complex tensor instead'
+        )
+    return [s, s]
+
+
+def _constrain_out(struct: Tuple, leaves: List, out_specs, mesh: Mesh) -> List:
+    """Apply ``with_sharding_constraint`` to output leaves, walking the
+    result structure. ``out_specs`` is one PartitionSpec for every output
+    tensor, or a flat sequence matching the tensor outputs in order."""
+    specs: List = []
+
+    def collect(st):
+        if st[0] == 't':
+            specs.append(st[1])
+        else:
+            for c in st[1]:
+                collect(c)
+
+    collect(struct)
+    if isinstance(out_specs, PartitionSpec) or out_specs is None:
+        per_tensor = [out_specs] * len(specs)
+    else:
+        per_tensor = list(out_specs)
+        if len(per_tensor) != len(specs):
+            raise RuntimeError(
+                f'dsc.compile out_specs has {len(per_tensor)} entries for '
+                f'{len(specs)} output tensors'
+            )
+    out, i = list(leaves), 0
+    for spec, ps in zip(specs, per_tensor):
+        nl = _leaf_count(spec)
+        if ps is not None:
+            s = NamedSharding(mesh, ps)
+            for j in range(i, i + nl):
+                out[j] = jax.lax.with_sharding_constraint(out[j], s)
+        i += nl
+    return out
+
+
 class _Compiled:
     """One compiled wrapper: spec-keyed LRU of jitted programs."""
 
-    def __init__(self, fn):
+    def __init__(self, fn, mesh: Optional[Mesh] = None,
+                 in_specs: Optional[Sequence] = None,
+                 out_specs=None):
         self._fn = fn
         self._name = getattr(fn, '__name__', 'fn')
         self.__doc__ = getattr(fn, '__doc__', None)
         self.__name__ = self._name
         self._programs: 'OrderedDict[Tuple, Tuple]' = OrderedDict()
+        self._mesh = mesh
+        self._in_specs = tuple(in_specs) if in_specs is not None else None
+        self._out_specs = out_specs
+        if mesh is None and (in_specs is not None or out_specs is not None):
+            raise RuntimeError('dsc.compile: in_specs/out_specs need mesh=')
 
     # -- call ---------------------------------------------------------------
 
     def __call__(self, *args, **kwargs):
         slots: List[Tuple] = []  # (kind, name_or_None, spec_or_value)
         leaves: List = []
-        for name, a in [(None, a) for a in args] + sorted(kwargs.items()):
+        shardings: List = []  # per-leaf NamedSharding when mesh is set
+        if self._in_specs is not None and len(self._in_specs) > len(args):
+            raise RuntimeError(
+                f'dsc.compile in_specs has {len(self._in_specs)} entries '
+                f'for {len(args)} positional arguments'
+            )
+        for pos, (name, a) in enumerate(
+            [(None, a) for a in args] + sorted(kwargs.items())
+        ):
             if isinstance(a, np.ndarray):
                 a = from_numpy(a)
             if isinstance(a, Tensor):
                 spec, ls = _spec_of(a)
                 slots.append((_SLOT_TENSOR, name, spec))
                 leaves.extend(ls)
+                if self._mesh is not None:
+                    ps = None
+                    if (self._in_specs is not None and name is None
+                            and pos < len(self._in_specs)):
+                        ps = self._in_specs[pos]
+                    shardings.extend(_leaf_shardings_of(spec, ps, self._mesh))
             elif isinstance(a, (bool, int, float, complex, str, type(None))):
                 slots.append((_SLOT_STATIC, name, a))
             else:
@@ -165,6 +246,8 @@ class _Compiled:
                     'dsc.compile arguments must be Tensors, NumPy arrays '
                     f'or Python scalars, got {type(a).__name__}'
                 )
+        if self._mesh is not None:
+            leaves = [jax.device_put(l, s) for l, s in zip(leaves, shardings)]
         key = tuple(slots)
         prog = self._programs.get(key)
         if prog is None:
@@ -206,8 +289,20 @@ class _Compiled:
                     call_args.append(v)
                 else:
                     call_kwargs[name] = v
-            res = fn(*call_args, **call_kwargs)
-            struct, out_leaves = _flatten_result(res)
+            if self._mesh is not None:
+                # Pallas kernels are opaque custom calls to the SPMD
+                # partitioner — trace mesh programs through the pure-XLA
+                # engines so GSPMD can split every op (flags.py).
+                with flags.xla_only():
+                    res = fn(*call_args, **call_kwargs)
+                    struct, out_leaves = _flatten_result(res)
+                    if self._out_specs is not None:
+                        out_leaves = _constrain_out(
+                            struct, out_leaves, self._out_specs, self._mesh
+                        )
+            else:
+                res = fn(*call_args, **call_kwargs)
+                struct, out_leaves = _flatten_result(res)
             out_cell['struct'] = struct
             return tuple(out_leaves)
 
@@ -223,7 +318,8 @@ class _Compiled:
         self._programs.clear()
 
 
-def compile(fn=None):  # noqa: A001 — dsc.compile is the public name
+def compile(fn=None, *, mesh=None, in_specs=None,  # noqa: A001 — public name
+            out_specs=None):
     """Compile ``fn(*tensors) -> Tensor(s)`` into one fused XLA program
     per argument signature. Usable as a decorator::
 
@@ -232,7 +328,28 @@ def compile(fn=None):  # noqa: A001 — dsc.compile is the public name
             spec = dsc.rfft(sig) * dsc.rfft(flt)
             return dsc.irfft(spec)
 
+    With ``mesh=`` the program compiles SPMD over a ``jax.sharding.Mesh``
+    (the reference has no distributed story, SURVEY §2.4; this is the
+    TPU-native scaling path — XLA inserts ICI collectives where the
+    sharded dataflow needs them)::
+
+        mesh = dsc.make_mesh((8, 1))                  # 8 chips on 'data'
+        pipe = dsc.compile(pipeline, mesh=mesh,
+                           in_specs=(P('data'), P()),  # batch-shard sig,
+                           out_specs=P('data'))        # replicate flt
+
+    ``in_specs`` aligns with the positional arguments (None/P() =
+    replicated; keyword tensors are always replicated); input leaves are
+    device_put to the requested layout on every call, a no-op when
+    already placed. ``out_specs`` is one PartitionSpec for all outputs or
+    a sequence matching the returned tensors; omitted means GSPMD
+    propagation decides. Mesh traces route through the pure-XLA engines
+    (Pallas custom calls cannot be partitioned — flags.py), so
+    single-device latency is better WITHOUT mesh; use it to scale.
+
     See the module docstring for tracing semantics and restrictions."""
     if fn is None:
-        return compile
-    return _Compiled(fn)
+        return functools.partial(
+            compile, mesh=mesh, in_specs=in_specs, out_specs=out_specs
+        )
+    return _Compiled(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)

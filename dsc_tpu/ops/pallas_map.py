@@ -328,7 +328,9 @@ def eligible(shapes, dtypes) -> bool:
     sublane-granular, so e.g. the (60, 60000) reference grid shape with
     its 1469-row tail streams too. Broadcast rows additionally need
     M % 128 == 0 and M/128 <= CHUNK_ROWS so tiles stay row-aligned.)"""
-    if MODE == 'off':
+    from .. import flags
+
+    if MODE == 'off' or flags.xla_only_active():
         return False
     cl = _classify(shapes)
     if cl is None:

@@ -246,3 +246,99 @@ def test_compile_decorator_forms():
     a = dsc.from_numpy(np.ones(4, np.float32))
     assert all_close(c1(a).numpy(), c2(a).numpy())
     assert isinstance(c1, fuse._Compiled)
+
+
+# -- mesh-compiled SPMD programs (fuse.py mesh=; the reference has no
+# distributed story, SURVEY §2.4 — this is the TPU-native scaling tier) --
+
+import jax  # noqa: E402
+from jax.sharding import PartitionSpec as P  # noqa: E402
+
+needs_devices = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason='needs 8 (virtual) devices'
+)
+
+
+@needs_devices
+def test_compile_mesh_filterfft_batch_sharded():
+    mesh = dsc.make_mesh((8, 1))
+
+    def pipeline(sig, flt):
+        spec = dsc.mul(dsc.rfft(sig), dsc.rfft(flt))
+        return dsc.irfft(spec)
+
+    pipe = dsc.compile(pipeline, mesh=mesh,
+                       in_specs=(P('data'), P()), out_specs=P('data'))
+    sn = np.random.randn(16, 512).astype(np.float32)
+    fn_ = np.random.randn(512).astype(np.float32)
+    got = pipe(dsc.from_numpy(sn), dsc.from_numpy(fn_))
+    want = np.fft.irfft(np.fft.rfft(sn, axis=-1) * np.fft.rfft(fn_), axis=-1)
+    assert got.shape == (16, 512)
+    assert all_close(got.numpy(), want, atol=1e-4)
+    # the output actually lives sharded over the 8 'data' devices
+    arr = got._buf.arr
+    assert len(arr.sharding.device_set) == 8
+    assert arr.addressable_shards[0].data.shape[0] == 2  # 16 / 8
+
+
+@needs_devices
+def test_compile_mesh_elementwise_and_reduction():
+    mesh = dsc.make_mesh((4, 2), axis_names=('data', 'model'))
+
+    def stats(x, y):
+        d = dsc.sub(x, y)
+        return dsc.sum(dsc.mul(d, d), axis=-1)
+
+    f = dsc.compile(stats, mesh=mesh, in_specs=(P('data', 'model'),) * 2)
+    xn = np.random.randn(8, 1024).astype(np.float32)
+    yn = np.random.randn(8, 1024).astype(np.float32)
+    got = f(dsc.from_numpy(xn), dsc.from_numpy(yn))
+    want = ((xn - yn) ** 2).sum(-1, keepdims=True)
+    assert all_close(got.numpy(), want, atol=1e-3)
+
+
+@needs_devices
+def test_compile_mesh_complex_planar_args():
+    # plain planar complex tensors shard plane-wise with the same spec
+    mesh = dsc.make_mesh((8, 1))
+
+    def f(z, w):
+        return dsc.mul(z, dsc.conj(w))
+
+    g = dsc.compile(f, mesh=mesh, in_specs=(P('data'), P('data')))
+    zn = (np.random.randn(8, 64) + 1j * np.random.randn(8, 64)).astype(
+        np.complex64)
+    wn = (np.random.randn(8, 64) + 1j * np.random.randn(8, 64)).astype(
+        np.complex64)
+    got = g(dsc.from_numpy(zn), dsc.from_numpy(wn))
+    assert all_close(got.numpy(), zn * np.conj(wn))
+
+
+def test_compile_mesh_validation():
+    with pytest.raises(RuntimeError, match='need mesh'):
+        dsc.compile(lambda x: x, in_specs=(P('data'),))
+
+    mesh = dsc.make_mesh((len(jax.devices()), 1))
+    f = dsc.compile(lambda x: x, mesh=mesh, in_specs=(P(), P()))
+    with pytest.raises(RuntimeError, match='in_specs'):
+        f(dsc.from_numpy(np.ones(4, np.float32)))
+
+
+def test_xla_only_flag_gates_engines():
+    # the flag forces every engine gate off regardless of forced modes
+    from dsc_tpu import flags
+    from dsc_tpu.fourier import config
+    from dsc_tpu.ops import pallas_map
+
+    orig = config.PALLAS_MODE
+    config.PALLAS_MODE = 'on'
+    try:
+        assert config.use_pallas(np.complex64, 512)
+        with flags.xla_only():
+            assert not config.use_pallas(np.complex64, 512)
+            assert not config.use_stream(np.complex64, 1, 2**20)
+            assert not pallas_map.eligible(
+                ((4096, 4096),), (np.float32,))
+        assert config.use_pallas(np.complex64, 512)
+    finally:
+        config.PALLAS_MODE = orig
