@@ -261,6 +261,24 @@ def main() -> int:
     ok &= check('STFT forward (finite, shaped)',
                 0.0 if np.isfinite(S.numpy()).all() else 1.0, 0.5)
 
+    # overlap-save block convolution (batched FFT engine, models/ola.py)
+    from dsc_tpu.models import ISTFT, OverlapSave
+
+    sol = rng.standard_normal(2**16).astype(np.float32)
+    tol = rng.standard_normal(129).astype(np.float32)
+    yol = OverlapSave(tol, fft_n=2048)(dsc.from_numpy(sol))
+    rol = np.convolve(sol, tol)
+    ok &= check('overlap-save conv 2^16 (fft_n=2048 blocks)',
+                np.abs(yol.numpy() - rol).max() / np.abs(rol).max(), 1e-4)
+
+    # complex STFT -> ISTFT overlap-add round-trip
+    zst = STFT(frame=256, hop=64, mode='complex')(dsc.from_numpy(sigl))
+    yst = ISTFT(frame=256, hop=64)(zst).numpy()
+    span = (zst.shape[0] - 1) * 64 + 256
+    ok &= check('ISTFT(STFT) round-trip interior',
+                np.abs(yst[256:span - 256] - sigl[256:span - 256]).max(),
+                1e-4)
+
     # dsc.compile: the filterFFT chain as ONE fused XLA program, with the
     # planar/hermitian spectrum crossing the trace boundary (fuse.py)
     @dsc.compile

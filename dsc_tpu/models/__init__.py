@@ -9,6 +9,15 @@ set.
 """
 
 from .filter_fft import FilterFFT, fft_convolve
-from .stft import STFT, spectrogram
+from .ola import OverlapSave, overlap_save_convolve
+from .stft import ISTFT, STFT, spectrogram
 
-__all__ = ['FilterFFT', 'fft_convolve', 'STFT', 'spectrogram']
+__all__ = [
+    'FilterFFT',
+    'fft_convolve',
+    'OverlapSave',
+    'overlap_save_convolve',
+    'STFT',
+    'ISTFT',
+    'spectrogram',
+]

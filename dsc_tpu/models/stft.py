@@ -17,15 +17,29 @@ import numpy as np
 from .. import tracing
 from ..fourier import core as fft_core
 from ..fourier import plan as fft_plan
+from ..planar import Planar
 from ..tensor import Tensor
+
+
+def _make_window(window: Optional[str], frame: int) -> np.ndarray:
+    if window == 'hann':
+        win = np.hanning(frame)
+    elif window == 'blackman':
+        win = np.blackman(frame)
+    elif window in (None, 'rect'):
+        win = np.ones(frame)
+    else:
+        raise RuntimeError(f'unknown window {window!r}')
+    return win.astype(np.float32)
 
 
 @partial(
     jax.jit,
-    static_argnames=('frame', 'hop', 'n_frames', 'spec', 'fft_n', 'log_eps'),
+    static_argnames=('frame', 'hop', 'n_frames', 'spec', 'fft_n', 'log_eps',
+                     'complex_out'),
 )
 def _stft_program(x, window, tables, frame, hop, n_frames, spec, fft_n,
-                  log_eps):
+                  log_eps, complex_out=False):
     """The whole pipeline (frame -> window -> rfft -> power -> log) as ONE
     XLA program: framing lowers to pure data movement that feeds the rfft
     input pass directly, and the power/log epilogue fuses into the last
@@ -34,6 +48,8 @@ def _stft_program(x, window, tables, frame, hop, n_frames, spec, fft_n,
     frames = jax.vmap(lambda i: jax.lax.dynamic_slice(x, (i,), (frame,)))(idx)
     fx = frames * window[None, :]
     z = fft_core.rfft_batched(fx, spec, tables, fft_n)
+    if complex_out:
+        return jnp.real(z), jnp.imag(z)
     power = jnp.real(z) ** 2 + jnp.imag(z) ** 2
     if log_eps is not None:
         power = jnp.log(power + log_eps)
@@ -50,23 +66,25 @@ class STFT:
         window: str = 'hann',
         log: bool = True,
         log_eps: float = 1e-10,
+        mode: Optional[str] = None,
     ):
+        """``mode``: 'log' (default), 'power', or 'complex' (the raw
+        spectrogram, invertible with :class:`ISTFT`). ``log=False`` is a
+        shorthand for mode='power'."""
         self.frame = frame
         self.hop = hop
         self.fft_n = fft_plan.next_pow2(frame)
-        self.log_eps = log_eps if log else None
-        if window == 'hann':
-            win = np.hanning(frame)
-        elif window == 'blackman':
-            win = np.blackman(frame)
-        elif window in (None, 'rect'):
-            win = np.ones(frame)
-        else:
-            raise RuntimeError(f'unknown window {window!r}')
-        self._window = jnp.asarray(win.astype(np.float32))
+        if mode is None:
+            mode = 'log' if log else 'power'
+        if mode not in ('log', 'power', 'complex'):
+            raise RuntimeError(f'unknown STFT mode {mode!r}')
+        self.mode = mode
+        self.log_eps = log_eps if mode == 'log' else None
+        self._window = jnp.asarray(_make_window(window, frame))
 
     def __call__(self, x: Tensor) -> Tensor:
-        """x: (n,) f32 -> (n_frames, fft_n//2+1) f32 (log-)power."""
+        """x: (n,) f32 -> (n_frames, fft_n//2+1) f32 (log-)power, or c32
+        spectrogram in mode='complex'."""
         n = x.shape[-1]
         if n < self.frame:
             raise RuntimeError(f'signal ({n}) shorter than frame ({self.frame})')
@@ -78,11 +96,90 @@ class STFT:
             out = _stft_program(
                 x.jax, self._window, tables, self.frame, self.hop,
                 n_frames, spec, self.fft_n, self.log_eps,
+                complex_out=self.mode == 'complex',
             )
             if tr:
-                tr.result = out
+                tr.result = out[0] if self.mode == 'complex' else out
+        if self.mode == 'complex':
+            re, im = out
+            return Tensor._from_planar(Planar(re, im, tuple(re.shape)))
         return Tensor._from_jax(out)
 
 
 def spectrogram(x: Tensor, frame: int = 1024, hop: int = 256, **kw) -> Tensor:
     return STFT(frame=frame, hop=hop, **kw)(x)
+
+
+@partial(
+    jax.jit,
+    static_argnames=('frame', 'hop', 'n_frames', 'spec', 'fft_n', 'out_n'),
+)
+def _istft_program(zre, zim, window, tables, frame, hop, n_frames, spec,
+                   fft_n, out_n):
+    """batched irfft -> synthesis window -> overlap-add -> divide by the
+    summed squared window (exact weighted-least-squares reconstruction
+    wherever the window coverage is nonzero). One device dispatch."""
+    z = jax.lax.complex(zre, zim)
+    frames = fft_core.irfft_batched(z, spec, tables, fft_n)[:, :frame]
+    frames = frames * window[None, :]
+    pos = (
+        jnp.arange(n_frames)[:, None] * hop + jnp.arange(frame)[None, :]
+    ).reshape(-1)
+    y = jnp.zeros(out_n, frames.dtype).at[pos].add(frames.reshape(-1))
+    wsq = jnp.zeros(out_n, frames.dtype).at[pos].add(
+        jnp.tile(window * window, n_frames)
+    )
+    return y / jnp.maximum(wsq, jnp.finfo(frames.dtype).tiny)
+
+
+class ISTFT:
+    """Inverse STFT: reconstruct the signal from a mode='complex'
+    spectrogram by windowed overlap-add.
+
+    Uses the same window as analysis (weighted least squares synthesis:
+    each sample is sum(w·frame)/sum(w²)), so ``ISTFT(...)(STFT(...,
+    mode='complex')(x))`` reproduces ``x`` exactly wherever the window
+    coverage is nonzero — for a hann window, everywhere except the first
+    and last ~frame samples.
+    """
+
+    def __init__(self, frame: int = 1024, hop: int = 256,
+                 window: str = 'hann'):
+        self.frame = frame
+        self.hop = hop
+        self.fft_n = fft_plan.next_pow2(frame)
+        self._window = jnp.asarray(_make_window(window, frame))
+
+    def __call__(self, z: Tensor, length: Optional[int] = None) -> Tensor:
+        """z: (n_frames, fft_n//2+1) c32 -> (length,) f32 signal.
+        ``length`` defaults to the full span (n_frames-1)*hop + frame."""
+        if z.n_dim != 2:
+            raise RuntimeError(f'expected a 2-D spectrogram, got {z.n_dim}-D')
+        n_frames, n_freq = z.shape
+        if n_freq != self.fft_n // 2 + 1:
+            raise RuntimeError(
+                f'spectrogram has {n_freq} bins, expected {self.fft_n // 2 + 1}'
+            )
+        span = (n_frames - 1) * self.hop + self.frame
+        length = span if length is None else length
+        if length > span:
+            raise RuntimeError(
+                f'length {length} exceeds the frame span {span}'
+            )
+        pp = z._planar
+        if pp is not None and pp.fourstep is None and not pp.hermitian:
+            zre, zim = pp.re, pp.im
+        else:
+            zj = z.jax
+            zre, zim = jnp.real(zj), jnp.imag(zj)
+        spec, tables = fft_plan.get_plan(self.fft_n, 'real', np.complex64)
+        with tracing.trace_op(
+            'istft', 'op;pipeline', tracing.tensor_args(z=z)
+        ) as tr:
+            out = _istft_program(
+                zre, zim, self._window, tables, self.frame, self.hop,
+                n_frames, spec, self.fft_n, span,
+            )
+            if tr:
+                tr.result = out
+        return Tensor._from_jax(out[:length])

@@ -56,13 +56,24 @@ div = _binary(jnp.true_divide)
 def _cpow_planes(ar, ai, br, bi):
     """pow on real planes: a^b = exp(b * log a) (reference pow_op,
     dsc_ops.h:305-316). Explicit real formulas — XLA's native complex
-    transcendental lowering wedges the axon TPU backend (see _unary)."""
+    transcendental lowering wedges the axon TPU backend (see _unary).
+
+    Zero bases are special-cased to NumPy's values (0^0 = 1, 0^b = 0):
+    the log formula hits 0*(-inf) = nan there — the reference's own
+    std::exp(b*std::log(a)) does too, but NumPy is the declared oracle
+    and zero-padded FFT tails make exact zeros common (found by
+    tests/test_fuzz.py)."""
     lr = 0.5 * jnp.log(ar * ar + ai * ai)
     li = jnp.arctan2(ai, ar)
     er = br * lr - bi * li
     ei = br * li + bi * lr
     m = jnp.exp(er)
-    return m * jnp.cos(ei), m * jnp.sin(ei)
+    yr, yi = m * jnp.cos(ei), m * jnp.sin(ei)
+    zero_a = (ar == 0) & (ai == 0)
+    zero_b = (br == 0) & (bi == 0)
+    yr = jnp.where(zero_a, jnp.where(zero_b, 1.0, 0.0), yr)
+    yi = jnp.where(zero_a, 0.0, yi)
+    return yr, yi
 
 
 def _cpow(a, b):

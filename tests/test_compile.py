@@ -342,3 +342,19 @@ def test_xla_only_flag_gates_engines():
         assert config.use_pallas(np.complex64, 512)
     finally:
         config.PALLAS_MODE = orig
+
+
+def test_compile_mesh_hermitian_arg_rejected():
+    # hermitian-half / fourstep planar layouts cannot carry a logical
+    # PartitionSpec; the error must be immediate and actionable
+    import jax.numpy as jnp
+
+    from dsc_tpu.planar import Planar
+    from dsc_tpu.tensor import Tensor
+
+    mesh = dsc.make_mesh((len(jax.devices()), 1))
+    re = jnp.zeros((8, 65), jnp.float32)
+    h = Tensor._from_planar(Planar(re, re, (8, 65), hermitian=True))
+    f = dsc.compile(lambda z: z, mesh=mesh, in_specs=(P('data'),))
+    with pytest.raises(RuntimeError, match='hermitian'):
+        f(h)

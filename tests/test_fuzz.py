@@ -1,0 +1,148 @@
+"""Randomized op-sequence fuzzing vs the NumPy oracle.
+
+The reference suite enumerates ops one at a time (test_ops.py); this
+extends the same oracle strategy (NumPy is the executable specification,
+reference README.md:173-180) to random CHAINS of public-API calls, so
+interactions the enumerated tests never compose — views feeding
+reductions feeding FFTs, dtype promotion across chained binaries, planar
+complex intermediates flowing through slicing — are exercised too.
+Seeded per case: every failure reproduces.
+"""
+
+import numpy as np
+import pytest
+
+import dsc_tpu as dsc
+
+from conftest import all_close
+
+# (name, dsc fn, numpy fn, arity, complex_ok)
+_BINARY = [
+    ('add', dsc.add, np.add),
+    ('sub', dsc.sub, np.subtract),
+    ('mul', dsc.mul, np.multiply),
+    ('div', dsc.true_div, np.true_divide),
+]
+_UNARY = [
+    ('cos', dsc.cos, np.cos),
+    ('sin', dsc.sin, np.sin),
+    ('exp', dsc.exp, np.exp),
+    ('sqrt', dsc.sqrt, np.sqrt),
+    ('conj', dsc.conj, np.conj),
+    ('absolute', dsc.absolute, np.absolute),
+]
+_REDUCE = [
+    ('sum', dsc.sum, np.sum),
+    ('mean', dsc.mean, np.mean),
+    ('max', dsc.max, np.max),
+    ('min', dsc.min, np.min),
+]
+
+
+def _rand_operand(rng, shape, complex_: bool):
+    # keep magnitudes O(1) so transcendental chains stay inside the
+    # reference-parity accuracy envelope (ops/kernels.py notes)
+    x = rng.uniform(-1.5, 1.5, shape)
+    if complex_:
+        x = (x + 1j * rng.uniform(-1.5, 1.5, shape)).astype(np.complex64)
+    else:
+        x = x.astype(np.float32)
+    return x
+
+
+def _chain_case(seed: int):
+    """One random chain: creation -> 3-6 ops -> compare against NumPy."""
+    rng = np.random.default_rng(seed)
+    rank = int(rng.integers(1, 4))
+    shape = tuple(int(rng.integers(2, 7)) for _ in range(rank))
+    complex_ = bool(rng.integers(0, 2))
+    xn = _rand_operand(rng, shape, complex_)
+    xt = dsc.from_numpy(xn)
+
+    n_ops = int(rng.integers(3, 7))
+    ops_log = []
+    for _ in range(n_ops):
+        kind = rng.choice(['binary', 'unary', 'reduce', 'slice', 'fft',
+                           'layout', 'pow', 'clip'])
+        ops_log.append(str(kind))
+        if kind == 'binary':
+            name, dfn, nfn = _BINARY[int(rng.integers(0, len(_BINARY)))]
+            if rng.integers(0, 2):  # tensor RHS, same shape
+                yn = _rand_operand(rng, xn.shape,
+                                   bool(np.iscomplexobj(xn)))
+                if name == 'div':
+                    yn = yn + np.where(np.abs(yn) < 0.25, 0.5, 0.0).astype(
+                        yn.dtype)
+                xt, xn = dfn(xt, dsc.from_numpy(yn)), nfn(xn, yn)
+            else:  # scalar RHS
+                s = float(rng.uniform(0.5, 2.0))
+                xt, xn = dfn(xt, s), nfn(xn, np.asarray(
+                    s, dtype=np.float32 if not np.iscomplexobj(xn)
+                    else np.complex64))
+        elif kind == 'unary':
+            name, dfn, nfn = _UNARY[int(rng.integers(0, len(_UNARY)))]
+            if name == 'sqrt':
+                # sqrt needs values away from the branch cut: rfft DC /
+                # Nyquist bins carry signed-zero imaginary parts where
+                # BOTH principal-branch signs are oracle-valid, so fuzz
+                # chains feed it |x| (the dedicated branch-cut tests live
+                # in test_ops.py)
+                xt, xn = dsc.absolute(xt), np.absolute(xn)
+            xt, xn = dfn(xt), nfn(xn)
+        elif kind == 'reduce' and xn.ndim >= 1 and xn.size > 1:
+            name, dfn, nfn = _REDUCE[int(rng.integers(0, len(_REDUCE)))]
+            ax = int(rng.integers(-xn.ndim, xn.ndim))
+            xt = dfn(xt, axis=ax, keepdims=True)
+            xn = nfn(xn, axis=ax, keepdims=True)
+        elif kind == 'slice' and xn.ndim >= 1 and xn.shape[0] > 1:
+            step = int(rng.choice([1, 2, -1]))
+            if xn[::step].size > 1:  # 1-element results unwrap to scalars
+                xt, xn = xt[::step], xn[::step]
+        elif kind == 'fft' and xn.shape[-1] >= 2:
+            if np.iscomplexobj(xn):
+                xt, xn = dsc.ifft(dsc.fft(xt)), xn.astype(np.complex64)
+                nfft = 1 << (int(xn.shape[-1] - 1).bit_length())
+                xn = np.fft.ifft(np.fft.fft(xn, n=nfft, axis=-1),
+                                 axis=-1).astype(np.complex64)
+            else:
+                xt = dsc.rfft(xt)
+                nfft = 1 << (int(xn.shape[-1] - 1).bit_length())
+                xn = np.fft.rfft(xn, n=nfft, axis=-1).astype(np.complex64)
+        elif kind == 'layout':
+            which = rng.choice(['transpose', 'reshape', 'concat'])
+            if which == 'transpose' and xn.ndim >= 2:
+                axes = tuple(rng.permutation(xn.ndim).tolist())
+                xt, xn = dsc.transpose(xt, axes), np.transpose(xn, axes)
+            elif which == 'reshape':
+                xt, xn = dsc.reshape(xt, -1), xn.reshape(-1)
+            elif xn.ndim <= 3:  # concat with self (rank cap is 4)
+                ax = int(rng.integers(0, xn.ndim))
+                xt = dsc.concat([xt, xt], axis=ax)
+                xn = np.concatenate([xn, xn], axis=ax)
+        elif kind == 'pow':
+            if np.iscomplexobj(xn):
+                # integer exponent: z^2 is entire (no branch cut to
+                # disagree over at the rfft bins' signed-zero imag parts)
+                xt = dsc.power(xt, 2.0)
+                xn = (xn ** np.complex64(2.0)).astype(np.complex64)
+            else:  # keep real bases positive, exponents fractional
+                e = float(rng.uniform(0.5, 1.5))
+                xt = dsc.power(dsc.add(dsc.absolute(xt), 0.5), e)
+                xn = (np.absolute(xn) + np.float32(0.5)) ** np.float32(e)
+        elif kind == 'clip' and not np.iscomplexobj(xn):
+            lo, hi = sorted(rng.uniform(-1.0, 1.0, 2).tolist())
+            xt = dsc.clip(xt, lo, hi)
+            xn = np.clip(xn, np.float32(lo), np.float32(hi))
+        if isinstance(xn, np.generic):
+            xn = np.asarray(xn)
+    got = np.asarray(xt.numpy()) if isinstance(xt, dsc.Tensor) else xt
+    assert got.shape == xn.shape, (seed, ops_log, got.shape, xn.shape)
+    assert all_close(got, xn.astype(got.dtype), eps=1e-3), (
+        f'seed {seed} ops {ops_log}: max |diff| = '
+        f'{np.abs(got - xn.astype(got.dtype)).max()}'
+    )
+
+
+@pytest.mark.parametrize('seed', range(60))
+def test_fuzz_chain(seed):
+    _chain_case(seed)

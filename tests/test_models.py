@@ -78,3 +78,87 @@ def test_stft_log_and_trace(tmp_path):
 
     events = json.loads((tmp_path / 't.json').read_text())['traceEvents']
     assert any(e['name'] == 'stft' for e in events)
+
+
+def test_overlap_save_matches_convolve():
+    from dsc_tpu.models import OverlapSave, overlap_save_convolve
+
+    sig = np.random.randn(10000).astype(np.float32)
+    taps = np.random.randn(65).astype(np.float32)
+    ref = np.convolve(sig, taps)
+    # class form with an explicit small FFT (many blocks)
+    ola = OverlapSave(taps, fft_n=256)
+    got = ola(dsc.from_numpy(sig)).numpy()
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 1e-4 * max(np.abs(ref).max(), 1.0)
+    # free-function form with the default FFT size
+    got2 = overlap_save_convolve(
+        dsc.from_numpy(sig), dsc.from_numpy(taps)
+    ).numpy()
+    assert np.abs(got2 - ref).max() < 1e-4 * max(np.abs(ref).max(), 1.0)
+
+
+def test_overlap_save_block_invariance():
+    # the result must not depend on the block size
+    from dsc_tpu.models import OverlapSave
+
+    sig = np.random.randn(3000).astype(np.float32)
+    taps = np.random.randn(31).astype(np.float32)
+    outs = [
+        OverlapSave(taps, fft_n=f)(dsc.from_numpy(sig)).numpy()
+        for f in (64, 512, 4096)
+    ]
+    for o in outs[1:]:
+        assert np.abs(o - outs[0]).max() < 1e-4
+
+
+def test_overlap_save_validation():
+    from dsc_tpu.models import OverlapSave
+
+    taps = np.random.randn(65).astype(np.float32)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match='power of two'):
+        OverlapSave(taps, fft_n=200)
+    with _pytest.raises(RuntimeError, match='too small'):
+        OverlapSave(taps, fft_n=64)
+
+
+def test_stft_complex_istft_roundtrip():
+    from dsc_tpu.models import ISTFT
+
+    frame, hop = 256, 64
+    x = np.random.randn(4096).astype(np.float32)
+    z = STFT(frame=frame, hop=hop, window='hann', mode='complex')(
+        dsc.from_numpy(x)
+    )
+    assert z.dtype == dsc.Dtype.C32
+    # the complex spectrogram matches the NumPy STFT
+    n_frames = 1 + (4096 - frame) // hop
+    win = np.hanning(frame).astype(np.float32)
+    ref = np.stack([
+        np.fft.rfft(x[i * hop : i * hop + frame] * win)
+        for i in range(n_frames)
+    ])
+    zn = z.numpy()
+    assert np.abs(zn - ref).max() < 1e-3 * max(np.abs(ref).max(), 1.0)
+    # round-trip: exact wherever window coverage is full
+    y = ISTFT(frame=frame, hop=hop, window='hann')(z).numpy()
+    span = (n_frames - 1) * hop + frame
+    assert y.shape == (span,)
+    interior = slice(frame, span - frame)
+    assert np.abs(y[interior] - x[interior]).max() < 1e-4
+
+
+def test_istft_length_and_validation():
+    from dsc_tpu.models import ISTFT
+
+    frame, hop = 128, 32
+    x = np.random.randn(1024).astype(np.float32)
+    z = STFT(frame=frame, hop=hop, mode='complex')(dsc.from_numpy(x))
+    y = ISTFT(frame=frame, hop=hop)(z, length=512)
+    assert y.shape == (512,)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match='bins'):
+        ISTFT(frame=64, hop=32)(z)

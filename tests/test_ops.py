@@ -203,6 +203,19 @@ class TestOps:
             np.array([0.5, 2.0, 3.0]) ** 1j,
         )
 
+    def test_complex_pow_zero_base(self):
+        # the exp(b*log a) formula hits 0*(-inf)=nan at a=0; NumPy (the
+        # oracle) defines 0^0 = 1 and 0^b = 0 for re(b) > 0 — pinned by a
+        # zero-base guard in _cpow_planes (found by tests/test_fuzz.py:
+        # zero-padded fft tails make exact zeros common)
+        z = np.array([0j, 0j, 1 + 1j], dtype=np.complex64)
+        e = np.array([2 + 0j, 0j, 2 + 0j], dtype=np.complex64)
+        got = dsc.power(dsc.from_numpy(z), dsc.from_numpy(e)).numpy()
+        assert all_close(got, z**e)  # [0, 1, 2j]
+        got2 = dsc.power(dsc.from_numpy(z), 2.0).numpy()
+        assert all_close(got2, z**np.complex64(2.0))
+        assert np.isfinite(got).all() and np.isfinite(got2).all()
+
     def test_csqrt_negative_zero_branch(self):
         # signbit (not im < 0) picks the branch: complex(-4, -0.0) maps to
         # -2j exactly as np.sqrt does
