@@ -32,6 +32,10 @@ RESULTS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def main() -> int:
+    from bench import wait_for_backend
+
+    wait_for_backend()  # the axon tunnel goes UNAVAILABLE for stretches
+
     import jax
 
     import dsc_tpu as dsc
