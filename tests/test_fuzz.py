@@ -146,3 +146,122 @@ def _chain_case(seed: int):
 @pytest.mark.parametrize('seed', range(60))
 def test_fuzz_chain(seed):
     _chain_case(seed)
+
+
+# ---------------------------------------------------------------------------
+# dsc.compile equivalence fuzz: the SAME random op program applied eagerly
+# and as one traced/fused XLA program (fuse.py) must agree. This pins the
+# documented dsc.compile semantics ("compiled pipelines keep the planar/
+# hermitian fast paths end-to-end") against the eager dispatch path, which
+# uses different engines (Pallas-eligible eager kernels vs pure-XLA trace).
+# ---------------------------------------------------------------------------
+
+
+def _apply_program(instrs, t):
+    """Replay an instruction list on a Tensor. Used identically for the
+    eager reference run and inside the dsc.compile trace, so both paths
+    execute the exact same public-API call sequence."""
+    for ins in instrs:
+        kind = ins[0]
+        if kind == 'binary':
+            _, fn, rhs = ins
+            t = fn(t, rhs)
+        elif kind == 'unary':
+            t = ins[1](t)
+        elif kind == 'reduce':
+            _, fn, ax = ins
+            t = fn(t, axis=ax, keepdims=True)
+        elif kind == 'slice':
+            t = t[:: ins[1]]
+        elif kind == 'rfft':
+            t = dsc.rfft(t)
+        elif kind == 'fftpair':
+            t = dsc.ifft(dsc.fft(t))
+        elif kind == 'transpose':
+            t = dsc.transpose(t, ins[1])
+        elif kind == 'flatten':
+            t = dsc.reshape(t, -1)
+        elif kind == 'concat':
+            t = dsc.concat([t, t], axis=ins[1])
+        elif kind == 'clip':
+            t = dsc.clip(t, ins[1], ins[2])
+        elif kind == 'pow':
+            t = dsc.power(dsc.add(dsc.absolute(t), 0.5), ins[1])
+    return t
+
+
+def _sample_program(seed):
+    """Sample a random trace-safe instruction list by applying candidate
+    ops eagerly as they are drawn (the eager intermediate provides the
+    shape/dtype validity checks)."""
+    rng = np.random.default_rng(10_000 + seed)
+    rank = int(rng.integers(1, 4))
+    shape = tuple(int(rng.integers(2, 7)) for _ in range(rank))
+    complex_ = bool(rng.integers(0, 2))
+    xn = _rand_operand(rng, shape, complex_)
+    t = dsc.from_numpy(xn)
+    instrs = []
+    for _ in range(int(rng.integers(3, 7))):
+        kind = rng.choice(['binary', 'unary', 'reduce', 'slice', 'fft',
+                           'layout', 'clip', 'pow'])
+        cplx = t.dtype in (dsc.Dtype.C32, dsc.Dtype.C64)
+        if kind == 'binary':
+            name, dfn, _ = _BINARY[int(rng.integers(0, len(_BINARY)))]
+            if rng.integers(0, 2):
+                yn = _rand_operand(rng, t.shape, cplx)
+                if name == 'div':
+                    yn = yn + np.where(np.abs(yn) < 0.25, 0.5, 0.0).astype(
+                        yn.dtype)
+                # closure Tensor: bakes in as a program constant
+                ins = ('binary', dfn, dsc.from_numpy(yn))
+            else:
+                ins = ('binary', dfn, float(rng.uniform(0.5, 2.0)))
+        elif kind == 'unary':
+            name, dfn, _ = _UNARY[int(rng.integers(0, len(_UNARY)))]
+            if name == 'sqrt':  # keep off the branch cut (see fuzz above)
+                dfn = dsc.absolute
+            ins = ('unary', dfn)
+        elif kind == 'reduce' and t.ne > 1:
+            _, dfn, _ = _REDUCE[int(rng.integers(0, len(_REDUCE)))]
+            ins = ('reduce', dfn, int(rng.integers(-t.n_dim, t.n_dim)))
+        elif kind == 'slice' and t.n_dim >= 1 and t.shape[0] > 2:
+            # keep >1 elements: 1-element results unwrap eagerly but
+            # raise under trace (documented dsc.compile semantics)
+            ins = ('slice', int(rng.choice([2, -1])))
+        elif kind == 'fft' and t.shape[-1] >= 2:
+            ins = ('fftpair',) if cplx else ('rfft',)
+        elif kind == 'layout':
+            which = rng.choice(['transpose', 'flatten', 'concat'])
+            if which == 'transpose' and t.n_dim >= 2:
+                ins = ('transpose', tuple(rng.permutation(t.n_dim).tolist()))
+            elif which == 'flatten':
+                ins = ('flatten',)
+            elif t.n_dim <= 3:
+                ins = ('concat', int(rng.integers(0, t.n_dim)))
+            else:
+                continue
+        elif kind == 'clip' and not cplx:
+            lo, hi = sorted(rng.uniform(-1.0, 1.0, 2).tolist())
+            ins = ('clip', lo, hi)
+        elif kind == 'pow' and not cplx:
+            ins = ('pow', float(rng.uniform(0.5, 1.5)))
+        else:
+            continue
+        t = _apply_program([ins], t)
+        if isinstance(t, (int, float, complex)):  # unwrapped: drop the op
+            raise AssertionError('sampler produced a scalar unwrap')
+        instrs.append(ins)
+    return xn, instrs, t
+
+
+@pytest.mark.parametrize('seed', range(16))
+def test_fuzz_compile_equivalence(seed):
+    xn, instrs, want = _sample_program(seed)
+    fn = dsc.compile(lambda v: _apply_program(instrs, v))
+    got = fn(dsc.from_numpy(xn))
+    assert got.shape == want.shape, (seed, instrs)
+    assert got.dtype == want.dtype, (seed, instrs)
+    assert all_close(got.numpy(), want.numpy(), eps=1e-4), (
+        f'seed {seed}: compiled vs eager max |diff| = '
+        f'{np.abs(got.numpy() - want.numpy()).max()} over {instrs}'
+    )
