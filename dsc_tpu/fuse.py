@@ -32,6 +32,9 @@ Semantics:
 - Complex tensors cross the boundary in planar form (planar.py), so
   compiled pipelines keep the planar/hermitian fast paths end-to-end —
   including the transposed fourstep spectrum layout of large rffts.
+- ``dsc_tpu.models`` pipelines are ordinary Tensor->Tensor callables and
+  compose under ``dsc.compile`` (e.g. STFT -> mask -> ISTFT as one
+  program; tests/test_models.py).
 
 Programs are cached per compiled wrapper, keyed by every argument's
 (shape, dtype, storage layout) plus static scalar values, with bounded

@@ -150,6 +150,35 @@ def test_stft_complex_istft_roundtrip():
     assert np.abs(y[interior] - x[interior]).max() < 1e-4
 
 
+def test_model_pipelines_compose_under_compile():
+    # model __call__s are ordinary Tensor->Tensor functions, so a whole
+    # STFT -> mask -> ISTFT chain traces into ONE fused program and
+    # matches its eager execution
+    from dsc_tpu.models import ISTFT, OverlapSave
+
+    n, frame, hop = 8192, 256, 64
+    x = np.random.randn(n).astype(np.float32)
+    stft = STFT(frame=frame, hop=hop, mode='complex')
+    istft = ISTFT(frame=frame, hop=hop)
+
+    def gate_pipe(v):
+        Z = stft(v)
+        mag = dsc.absolute(Z)
+        floor = dsc.mean(mag, axis=1, keepdims=True)
+        gate = dsc.clip(dsc.sub(dsc.true_div(mag, floor), 2.0), 0.0, 1.0)
+        return istft(dsc.mul(Z, gate))
+
+    want = gate_pipe(dsc.from_numpy(x)).numpy()
+    got = dsc.compile(gate_pipe)(dsc.from_numpy(x)).numpy()
+    assert np.abs(got - want).max() < 1e-4
+
+    taps = np.random.randn(65).astype(np.float32)
+    ola = OverlapSave(taps, fft_n=512)
+    yo = dsc.compile(lambda v: ola(v))(dsc.from_numpy(x)).numpy()
+    ref = np.convolve(x, taps)
+    assert np.abs(yo - ref).max() < 1e-4 * max(np.abs(ref).max(), 1.0)
+
+
 def test_istft_length_and_validation():
     from dsc_tpu.models import ISTFT
 
