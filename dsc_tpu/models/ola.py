@@ -33,16 +33,25 @@ def _ola_program(x, kre, kim, tables, fft_n, hop, n_blocks, k, out_len,
                  spec):
     """pad -> frame -> batched rfft -> spectrum multiply -> batched irfft
     -> discard the k-1 wrap samples per block -> concatenate. One device
-    dispatch for the whole signal."""
+    dispatch for the whole signal batch. ``x`` is (b, n); all b*n_blocks
+    blocks go through the FFT engine as one batch."""
+    b = x.shape[0]
     pad_front = k - 1
     total = (n_blocks - 1) * hop + fft_n
-    xp = jnp.zeros(total, x.dtype).at[pad_front : pad_front + x.shape[0]].set(x)
+    xp = jnp.zeros((b, total), x.dtype).at[
+        :, pad_front : pad_front + x.shape[1]
+    ].set(x)
     idx = jnp.arange(n_blocks) * hop
-    frames = jax.vmap(lambda i: jax.lax.dynamic_slice(xp, (i,), (fft_n,)))(idx)
-    z = fft_core.rfft_batched(frames, spec, tables, fft_n)
+    frames = jax.vmap(
+        lambda sig: jax.vmap(
+            lambda i: jax.lax.dynamic_slice(sig, (i,), (fft_n,))
+        )(idx)
+    )(xp)  # (b, n_blocks, fft_n)
+    z = fft_core.rfft_batched(frames.reshape(-1, fft_n), spec, tables, fft_n)
     z = z * jax.lax.complex(kre, kim)[None, :]
     y = fft_core.irfft_batched(z, spec, tables, fft_n)
-    return y[:, k - 1 :].reshape(-1)[:out_len]
+    y = y.reshape(b, n_blocks, fft_n)
+    return y[:, :, k - 1 :].reshape(b, -1)[:, :out_len]
 
 
 class OverlapSave:
@@ -83,23 +92,30 @@ class OverlapSave:
         self._kim = jnp.imag(zk)
 
     def __call__(self, x: Tensor) -> Tensor:
-        """x: (n,) f32 -> (n + n_taps - 1,) f32 full convolution."""
-        if x.n_dim != 1:
-            raise RuntimeError(f'expected a 1-D signal, got {x.n_dim}-D')
+        """x: (n,) or (batch, n) f32 -> (n + n_taps - 1,) f32 full
+        convolution (with a leading batch dim for batched input)."""
+        if x.n_dim not in (1, 2):
+            raise RuntimeError(
+                f'expected a 1-D or 2-D signal, got {x.n_dim}-D'
+            )
+        batched = x.n_dim == 2
         n = x.shape[-1]
         out_len = n + self.n_taps - 1
         n_blocks = -(-out_len // self.hop)
+        xj = x.jax.astype(jnp.float32)
+        if not batched:
+            xj = xj[None, :]
         with tracing.trace_op(
             'overlap_save', 'op;pipeline', tracing.tensor_args(x=x)
         ) as tr:
             out = _ola_program(
-                x.jax.astype(jnp.float32), self._kre, self._kim,
+                xj, self._kre, self._kim,
                 self._tables, self.fft_n, self.hop, n_blocks, self.n_taps,
                 out_len, self._spec,
             )
             if tr:
                 tr.result = out
-        return Tensor._from_jax(out)
+        return Tensor._from_jax(out if batched else out[0])
 
 
 def overlap_save_convolve(

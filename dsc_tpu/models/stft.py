@@ -43,11 +43,17 @@ def _stft_program(x, window, tables, frame, hop, n_frames, spec, fft_n,
     """The whole pipeline (frame -> window -> rfft -> power -> log) as ONE
     XLA program: framing lowers to pure data movement that feeds the rfft
     input pass directly, and the power/log epilogue fuses into the last
-    FFT stage's output — one device dispatch per call."""
+    FFT stage's output — one device dispatch per call. ``x`` is (b, n);
+    all b*n_frames windows ride the batched FFT engine as one pass."""
     idx = jnp.arange(n_frames) * hop
-    frames = jax.vmap(lambda i: jax.lax.dynamic_slice(x, (i,), (frame,)))(idx)
-    fx = frames * window[None, :]
+    frames = jax.vmap(
+        lambda sig: jax.vmap(
+            lambda i: jax.lax.dynamic_slice(sig, (i,), (frame,))
+        )(idx)
+    )(x)  # (b, n_frames, frame)
+    fx = (frames * window[None, None, :]).reshape(-1, frame)
     z = fft_core.rfft_batched(fx, spec, tables, fft_n)
+    z = z.reshape(x.shape[0], n_frames, fft_n // 2 + 1)
     if complex_out:
         return jnp.real(z), jnp.imag(z)
     power = jnp.real(z) ** 2 + jnp.imag(z) ** 2
@@ -83,18 +89,23 @@ class STFT:
         self._window = jnp.asarray(_make_window(window, frame))
 
     def __call__(self, x: Tensor) -> Tensor:
-        """x: (n,) f32 -> (n_frames, fft_n//2+1) f32 (log-)power, or c32
+        """x: (n,) or (batch, n) f32 -> (n_frames, fft_n//2+1) f32
+        (log-)power (with a leading batch dim for batched input), or c32
         spectrogram in mode='complex'."""
+        if x.n_dim > 2:
+            raise RuntimeError(f'expected a 1-D or 2-D signal, got {x.n_dim}-D')
+        batched = x.n_dim == 2
         n = x.shape[-1]
         if n < self.frame:
             raise RuntimeError(f'signal ({n}) shorter than frame ({self.frame})')
         n_frames = 1 + (n - self.frame) // self.hop
         spec, tables = fft_plan.get_plan(self.fft_n, 'real', np.complex64)
+        xj = x.jax if batched else x.jax[None, :]
         with tracing.trace_op(
             'stft', 'op;pipeline', tracing.tensor_args(x=x)
         ) as tr:
             out = _stft_program(
-                x.jax, self._window, tables, self.frame, self.hop,
+                xj, self._window, tables, self.frame, self.hop,
                 n_frames, spec, self.fft_n, self.log_eps,
                 complex_out=self.mode == 'complex',
             )
@@ -102,8 +113,10 @@ class STFT:
                 tr.result = out[0] if self.mode == 'complex' else out
         if self.mode == 'complex':
             re, im = out
+            if not batched:
+                re, im = re[0], im[0]
             return Tensor._from_planar(Planar(re, im, tuple(re.shape)))
-        return Tensor._from_jax(out)
+        return Tensor._from_jax(out if batched else out[0])
 
 
 def spectrogram(x: Tensor, frame: int = 1024, hop: int = 256, **kw) -> Tensor:
@@ -118,18 +131,22 @@ def _istft_program(zre, zim, window, tables, frame, hop, n_frames, spec,
                    fft_n, out_n):
     """batched irfft -> synthesis window -> overlap-add -> divide by the
     summed squared window (exact weighted-least-squares reconstruction
-    wherever the window coverage is nonzero). One device dispatch."""
-    z = jax.lax.complex(zre, zim)
+    wherever the window coverage is nonzero). One device dispatch.
+    ``zre``/``zim`` are (b, n_frames, bins)."""
+    b = zre.shape[0]
+    z = jax.lax.complex(zre, zim).reshape(b * n_frames, -1)
     frames = fft_core.irfft_batched(z, spec, tables, fft_n)[:, :frame]
-    frames = frames * window[None, :]
+    frames = frames.reshape(b, n_frames, frame) * window[None, None, :]
     pos = (
         jnp.arange(n_frames)[:, None] * hop + jnp.arange(frame)[None, :]
     ).reshape(-1)
-    y = jnp.zeros(out_n, frames.dtype).at[pos].add(frames.reshape(-1))
+    y = jnp.zeros((b, out_n), frames.dtype).at[:, pos].add(
+        frames.reshape(b, -1)
+    )
     wsq = jnp.zeros(out_n, frames.dtype).at[pos].add(
         jnp.tile(window * window, n_frames)
     )
-    return y / jnp.maximum(wsq, jnp.finfo(frames.dtype).tiny)
+    return y / jnp.maximum(wsq, jnp.finfo(frames.dtype).tiny)[None, :]
 
 
 class ISTFT:
@@ -151,11 +168,15 @@ class ISTFT:
         self._window = jnp.asarray(_make_window(window, frame))
 
     def __call__(self, z: Tensor, length: Optional[int] = None) -> Tensor:
-        """z: (n_frames, fft_n//2+1) c32 -> (length,) f32 signal.
-        ``length`` defaults to the full span (n_frames-1)*hop + frame."""
-        if z.n_dim != 2:
-            raise RuntimeError(f'expected a 2-D spectrogram, got {z.n_dim}-D')
-        n_frames, n_freq = z.shape
+        """z: (n_frames, fft_n//2+1) c32 (or with a leading batch dim)
+        -> (length,) / (batch, length) f32 signal. ``length`` defaults to
+        the full span (n_frames-1)*hop + frame."""
+        if z.n_dim not in (2, 3):
+            raise RuntimeError(
+                f'expected a 2-D or 3-D spectrogram, got {z.n_dim}-D'
+            )
+        batched = z.n_dim == 3
+        n_frames, n_freq = z.shape[-2], z.shape[-1]
         if n_freq != self.fft_n // 2 + 1:
             raise RuntimeError(
                 f'spectrogram has {n_freq} bins, expected {self.fft_n // 2 + 1}'
@@ -172,6 +193,8 @@ class ISTFT:
         else:
             zj = z.jax
             zre, zim = jnp.real(zj), jnp.imag(zj)
+        if not batched:
+            zre, zim = zre[None], zim[None]
         spec, tables = fft_plan.get_plan(self.fft_n, 'real', np.complex64)
         with tracing.trace_op(
             'istft', 'op;pipeline', tracing.tensor_args(z=z)
@@ -182,4 +205,5 @@ class ISTFT:
             )
             if tr:
                 tr.result = out
-        return Tensor._from_jax(out[:length])
+        out = out[:, :length]
+        return Tensor._from_jax(out if batched else out[0])

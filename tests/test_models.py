@@ -150,6 +150,42 @@ def test_stft_complex_istft_roundtrip():
     assert np.abs(y[interior] - x[interior]).max() < 1e-4
 
 
+def test_models_accept_batched_input():
+    # (batch, n) inputs ride the batched FFT engine as one program;
+    # results match the per-signal 1-D calls exactly
+    from dsc_tpu.models import ISTFT, OverlapSave
+
+    b, n, frame, hop = 3, 2048, 128, 32
+    xs = np.random.randn(b, n).astype(np.float32)
+
+    stft = STFT(frame=frame, hop=hop, mode='complex')
+    istft = ISTFT(frame=frame, hop=hop)
+    Z = stft(dsc.from_numpy(xs))
+    assert Z.n_dim == 3 and Z.shape[0] == b
+    for i in range(b):
+        zi = stft(dsc.from_numpy(xs[i])).numpy()
+        assert np.abs(Z.numpy()[i] - zi).max() == 0.0
+    y = istft(Z, length=n)
+    assert y.shape == (b, n)
+    for i in range(b):
+        yi = istft(stft(dsc.from_numpy(xs[i])), length=n).numpy()
+        assert np.abs(y.numpy()[i] - yi).max() == 0.0
+
+    # batched log-power spectrogram
+    S = STFT(frame=frame, hop=hop)(dsc.from_numpy(xs))
+    S0 = STFT(frame=frame, hop=hop)(dsc.from_numpy(xs[0]))
+    assert S.shape == (b,) + S0.shape
+    assert np.abs(S.numpy()[0] - S0.numpy()).max() == 0.0
+
+    # batched overlap-save equals np.convolve row-wise
+    taps = np.random.randn(33).astype(np.float32)
+    yo = OverlapSave(taps, fft_n=256)(dsc.from_numpy(xs)).numpy()
+    assert yo.shape == (b, n + 32)
+    for i in range(b):
+        ref = np.convolve(xs[i], taps)
+        assert np.abs(yo[i] - ref).max() < 1e-4 * max(np.abs(ref).max(), 1.0)
+
+
 def test_model_pipelines_compose_under_compile():
     # model __call__s are ordinary Tensor->Tensor functions, so a whole
     # STFT -> mask -> ISTFT chain traces into ONE fused program and
