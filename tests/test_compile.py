@@ -344,6 +344,32 @@ def test_xla_only_flag_gates_engines():
         config.PALLAS_MODE = orig
 
 
+def test_compile_mesh_shards_batched_model_pipeline():
+    # a batched STFT -> mask -> ISTFT pipeline shards over the data axis
+    # with no model changes: dsc.compile(mesh=) traces the xla_only
+    # engines and GSPMD partitions the whole program
+    from dsc_tpu.models import ISTFT, STFT
+
+    b, n, frame, hop = 8, 2048, 128, 32
+    xs = np.random.randn(b, n).astype(np.float32)
+    stft = STFT(frame=frame, hop=hop, mode='complex')
+    istft = ISTFT(frame=frame, hop=hop)
+
+    def pipe(v):
+        Z = stft(v)
+        mag = dsc.absolute(Z)
+        floor = dsc.mean(mag, axis=2, keepdims=True)
+        gate = dsc.clip(dsc.sub(dsc.true_div(mag, floor), 2.0), 0.0, 1.0)
+        return istft(dsc.mul(Z, gate), length=n)
+
+    mesh = dsc.make_mesh((len(jax.devices()), 1))
+    f = dsc.compile(pipe, mesh=mesh, in_specs=(P('data'),))
+    got = f(dsc.from_numpy(xs))
+    assert got.shape == (b, n)
+    want = pipe(dsc.from_numpy(xs))
+    assert np.abs(got.numpy() - want.numpy()).max() < 1e-4
+
+
 def test_compile_mesh_hermitian_arg_rejected():
     # hermitian-half / fourstep planar layouts cannot carry a logical
     # PartitionSpec; the error must be immediate and actionable
