@@ -44,7 +44,9 @@ def main():
     print('== 1-D fft/rfft forward, f32/c32 (public API) ==')
     print(f'{"N":>9} {"dsc fft":>12} {"np fft":>12} {"dsc GF/s":>9} '
           f'{"np GF/s":>9} {"rfft GF/s":>10}')
-    for e in (range(8, 27, 2) if part in ('all', '1d') else ()):
+    # 2^25 included oddly: the size-cliff criterion is 2^25/2^26 within
+    # traffic-proportional factors of the 2^24 time (VERDICT r2 item 3)
+    for e in ((*range(8, 25, 2), 25, 26) if part in ('all', '1d') else ()):
         n = 2**e
         flops_c = 5 * n * e
         flops_r = 2.5 * n * e
