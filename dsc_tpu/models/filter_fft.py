@@ -58,12 +58,23 @@ class FilterFFT:
         def _step(block: Tensor, kspec: Tensor) -> Tensor:
             return irfft(mul(rfft(block, n=fft_n), kspec))[:out_len]
 
+        @_compile
+        def _step_b(block: Tensor, kspec: Tensor) -> Tensor:
+            return irfft(mul(rfft(block, n=fft_n), kspec))[:, :out_len]
+
         self._step = _step
+        self._step_b = _step_b
 
     def __call__(self, block: Tensor) -> Tensor:
+        """block: (block_size,) or (batch, block_size) f32."""
+        if block.n_dim not in (1, 2):
+            raise RuntimeError(
+                f'expected a 1-D or 2-D block, got {block.n_dim}-D'
+            )
         if block.shape[-1] != self.block_size:
             raise RuntimeError(
                 f'expected block of {self.block_size} samples, '
                 f'got {block.shape[-1]}'
             )
-        return self._step(block, self.kernel_spec)
+        step = self._step_b if block.n_dim == 2 else self._step
+        return step(block, self.kernel_spec)

@@ -150,6 +150,17 @@ def test_stft_complex_istft_roundtrip():
     assert np.abs(y[interior] - x[interior]).max() < 1e-4
 
 
+def test_filter_fft_batched_blocks():
+    taps = np.random.randn(33).astype(np.float32)
+    xs = np.random.randn(4, 256).astype(np.float32)
+    filt = FilterFFT(taps, block_size=256)
+    got = filt(dsc.from_numpy(xs)).numpy()
+    assert got.shape == (4, 256 + 32)
+    for i in range(4):
+        ref = np.convolve(xs[i], taps)
+        assert np.abs(got[i] - ref).max() < 1e-4 * max(np.abs(ref).max(), 1.0)
+
+
 def test_models_accept_batched_input():
     # (batch, n) inputs ride the batched FFT engine as one program;
     # results match the per-signal 1-D calls exactly
