@@ -127,26 +127,37 @@ def spectrogram(x: Tensor, frame: int = 1024, hop: int = 256, **kw) -> Tensor:
     jax.jit,
     static_argnames=('frame', 'hop', 'n_frames', 'spec', 'fft_n', 'out_n'),
 )
-def _istft_program(zre, zim, window, tables, frame, hop, n_frames, spec,
-                   fft_n, out_n):
-    """batched irfft -> synthesis window -> overlap-add -> divide by the
-    summed squared window (exact weighted-least-squares reconstruction
+def _istft_program(zre, zim, window, inv_wsq, tables, frame, hop, n_frames,
+                   spec, fft_n, out_n):
+    """batched irfft -> synthesis window -> overlap-add -> multiply by the
+    precomputed 1/sum(w^2) (exact weighted-least-squares reconstruction
     wherever the window coverage is nonzero). One device dispatch.
-    ``zre``/``zim`` are (b, n_frames, bins)."""
+    ``zre``/``zim`` are (b, n_frames, bins).
+
+    The overlap-add is TPU-shaped: when hop divides frame it runs as
+    frame/hop dense shifted slice-adds (pure vector adds XLA fuses),
+    not a scatter — TPU scatter lowers to a sort-based loop. The
+    1/sum(w^2) denominator depends only on (window, hop, n_frames), so it
+    is computed host-side in f64 and baked as a constant."""
     b = zre.shape[0]
     z = jax.lax.complex(zre, zim).reshape(b * n_frames, -1)
     frames = fft_core.irfft_batched(z, spec, tables, fft_n)[:, :frame]
     frames = frames.reshape(b, n_frames, frame) * window[None, None, :]
-    pos = (
-        jnp.arange(n_frames)[:, None] * hop + jnp.arange(frame)[None, :]
-    ).reshape(-1)
-    y = jnp.zeros((b, out_n), frames.dtype).at[:, pos].add(
-        frames.reshape(b, -1)
-    )
-    wsq = jnp.zeros(out_n, frames.dtype).at[pos].add(
-        jnp.tile(window * window, n_frames)
-    )
-    return y / jnp.maximum(wsq, jnp.finfo(frames.dtype).tiny)[None, :]
+    if frame % hop == 0:
+        k = frame // hop
+        y = jnp.zeros((b, out_n), frames.dtype)
+        flat_len = n_frames * hop
+        for c in range(k):
+            part = frames[:, :, c * hop : (c + 1) * hop].reshape(b, -1)
+            y = y.at[:, c * hop : c * hop + flat_len].add(part)
+    else:
+        pos = (
+            jnp.arange(n_frames)[:, None] * hop + jnp.arange(frame)[None, :]
+        ).reshape(-1)
+        y = jnp.zeros((b, out_n), frames.dtype).at[:, pos].add(
+            frames.reshape(b, -1)
+        )
+    return y * inv_wsq[None, :]
 
 
 class ISTFT:
@@ -165,7 +176,24 @@ class ISTFT:
         self.frame = frame
         self.hop = hop
         self.fft_n = fft_plan.next_pow2(frame)
-        self._window = jnp.asarray(_make_window(window, frame))
+        self._window_np = _make_window(window, frame)
+        self._window = jnp.asarray(self._window_np)
+        self._inv_wsq_cache: dict = {}
+
+    def _inv_wsq(self, n_frames: int, span: int) -> np.ndarray:
+        """1 / sum-of-squared-windows at each output sample — depends only
+        on (window, hop, n_frames), so computed host-side in f64 once per
+        spectrogram length and baked into the program as a constant."""
+        got = self._inv_wsq_cache.get(n_frames)
+        if got is None:
+            w2 = (self._window_np.astype(np.float64)) ** 2
+            wsq = np.zeros(span, np.float64)
+            for i in range(0, n_frames * self.hop, self.hop):
+                wsq[i : i + self.frame] += w2
+            tiny = float(np.finfo(np.float32).tiny)
+            got = (1.0 / np.maximum(wsq, tiny)).astype(np.float32)
+            self._inv_wsq_cache[n_frames] = got
+        return got
 
     def __call__(self, z: Tensor, length: Optional[int] = None) -> Tensor:
         """z: (n_frames, fft_n//2+1) c32 (or with a leading batch dim)
@@ -200,8 +228,9 @@ class ISTFT:
             'istft', 'op;pipeline', tracing.tensor_args(z=z)
         ) as tr:
             out = _istft_program(
-                zre, zim, self._window, tables, self.frame, self.hop,
-                n_frames, spec, self.fft_n, span,
+                zre, zim, self._window, self._inv_wsq(n_frames, span),
+                tables, self.frame, self.hop, n_frames, spec, self.fft_n,
+                span,
             )
             if tr:
                 tr.result = out

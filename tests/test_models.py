@@ -226,6 +226,21 @@ def test_model_pipelines_compose_under_compile():
     assert np.abs(yo - ref).max() < 1e-4 * max(np.abs(ref).max(), 1.0)
 
 
+def test_istft_non_dividing_hop():
+    # hop that does not divide frame takes the scatter overlap-add
+    # fallback; WLS reconstruction is still exact in the interior
+    from dsc_tpu.models import ISTFT
+
+    frame, hop = 128, 48
+    x = np.random.randn(2048).astype(np.float32)
+    z = STFT(frame=frame, hop=hop, mode='complex')(dsc.from_numpy(x))
+    y = ISTFT(frame=frame, hop=hop)(z).numpy()
+    n_frames = z.shape[0]
+    span = (n_frames - 1) * hop + frame
+    interior = slice(frame, span - frame)
+    assert np.abs(y[interior] - x[interior]).max() < 1e-4
+
+
 def test_istft_length_and_validation():
     from dsc_tpu.models import ISTFT
 
