@@ -41,12 +41,9 @@ def _ola_program(x, kre, kim, tables, fft_n, hop, n_blocks, k, out_len,
     xp = jnp.zeros((b, total), x.dtype).at[
         :, pad_front : pad_front + x.shape[1]
     ].set(x)
-    idx = jnp.arange(n_blocks) * hop
-    frames = jax.vmap(
-        lambda sig: jax.vmap(
-            lambda i: jax.lax.dynamic_slice(sig, (i,), (fft_n,))
-        )(idx)
-    )(xp)  # (b, n_blocks, fft_n)
+    from .stft import _frame_dense
+
+    frames = _frame_dense(xp, fft_n, hop, n_blocks)  # (b, n_blocks, fft_n)
     z = fft_core.rfft_batched(frames.reshape(-1, fft_n), spec, tables, fft_n)
     z = z * jax.lax.complex(kre, kim)[None, :]
     y = fft_core.irfft_batched(z, spec, tables, fft_n)

@@ -33,6 +33,27 @@ def _make_window(window: Optional[str], frame: int) -> np.ndarray:
     return win.astype(np.float32)
 
 
+def _frame_dense(x, frame: int, hop: int, n_frames: int):
+    """Sliding-window framing as PURE LAYOUT data movement: ceil(frame/hop)
+    shifted hop-wide phase slices, each a strided reshape, concatenated
+    along the window axis — frames[:, i, c*hop + j] = x[:, (i+c)*hop + j].
+    A vmap(dynamic_slice) formulation lowers to a gather, which TPUs
+    execute as a serial loop; this version is plain slices XLA fuses into
+    the consumer's input pass. ``x`` is (b, n)."""
+    b = x.shape[0]
+    kph = -(-frame // hop)
+    need = (n_frames + kph - 1) * hop
+    if x.shape[1] < need:  # the zero tail is cropped before use below
+        x = jnp.pad(x, ((0, 0), (0, need - x.shape[1])))
+    return jnp.concatenate(
+        [
+            x[:, c * hop : (c + n_frames) * hop].reshape(b, n_frames, hop)
+            for c in range(kph)
+        ],
+        axis=2,
+    )[:, :, :frame]
+
+
 @partial(
     jax.jit,
     static_argnames=('frame', 'hop', 'n_frames', 'spec', 'fft_n', 'log_eps',
@@ -45,12 +66,7 @@ def _stft_program(x, window, tables, frame, hop, n_frames, spec, fft_n,
     input pass directly, and the power/log epilogue fuses into the last
     FFT stage's output — one device dispatch per call. ``x`` is (b, n);
     all b*n_frames windows ride the batched FFT engine as one pass."""
-    idx = jnp.arange(n_frames) * hop
-    frames = jax.vmap(
-        lambda sig: jax.vmap(
-            lambda i: jax.lax.dynamic_slice(sig, (i,), (frame,))
-        )(idx)
-    )(x)  # (b, n_frames, frame)
+    frames = _frame_dense(x, frame, hop, n_frames)  # (b, n_frames, frame)
     fx = (frames * window[None, None, :]).reshape(-1, frame)
     z = fft_core.rfft_batched(fx, spec, tables, fft_n)
     z = z.reshape(x.shape[0], n_frames, fft_n // 2 + 1)
