@@ -24,6 +24,8 @@ from ..tensor import Tensor
 def _make_window(window: Optional[str], frame: int) -> np.ndarray:
     if window == 'hann':
         win = np.hanning(frame)
+    elif window == 'hamming':
+        win = np.hamming(frame)
     elif window == 'blackman':
         win = np.blackman(frame)
     elif window in (None, 'rect'):
