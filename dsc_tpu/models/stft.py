@@ -70,6 +70,8 @@ def _stft_program(x, window, tables, frame, hop, n_frames, spec, fft_n,
     all b*n_frames windows ride the batched FFT engine as one pass."""
     frames = _frame_dense(x, frame, hop, n_frames)  # (b, n_frames, frame)
     fx = (frames * window[None, None, :]).reshape(-1, frame)
+    if frame != fft_n:  # non-pow2 frame: zero-pad to the transform size
+        fx = jnp.pad(fx, ((0, 0), (0, fft_n - frame)))
     z = fft_core.rfft_batched(fx, spec, tables, fft_n)
     z = z.reshape(x.shape[0], n_frames, fft_n // 2 + 1)
     if complex_out:

@@ -149,6 +149,68 @@ def test_fuzz_chain(seed):
 
 
 # ---------------------------------------------------------------------------
+# STFT/ISTFT config fuzz: random (frame, hop, window, batch, length)
+# configurations against the NumPy STFT oracle and the WLS round-trip
+# guarantee (interior samples reconstruct exactly wherever window
+# coverage is nonzero).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize('seed', range(10))
+def test_fuzz_stft_istft_configs(seed):
+    from dsc_tpu.models import ISTFT, STFT
+
+    rng = np.random.default_rng(20_000 + seed)
+    frame = int(rng.choice([64, 128, 256, 320]))
+    hop = int(rng.choice([frame // 4, frame // 3, frame // 2, frame]))
+    window = str(rng.choice(['hann', 'hamming', 'blackman', 'rect']))
+    batch = int(rng.integers(1, 4))
+    n = frame * int(rng.integers(4, 9)) + int(rng.integers(0, hop))
+    shape = (n,) if batch == 1 and rng.integers(0, 2) else (batch, n)
+    x = rng.standard_normal(shape).astype(np.float32)
+
+    stft = STFT(frame=frame, hop=hop, window=window, mode='complex')
+    z = stft(dsc.from_numpy(x))
+    n_frames = 1 + (n - frame) // hop
+    fft_n = 1 << (frame - 1).bit_length()
+
+    # oracle: windowed frame rfft (NumPy)
+    from dsc_tpu.models.stft import _make_window
+
+    win = _make_window(window, frame)
+    x2 = x.reshape(-1, n)
+    ref = np.stack([
+        np.stack([
+            np.fft.rfft(row[i * hop : i * hop + frame] * win, n=fft_n)
+            for i in range(n_frames)
+        ])
+        for row in x2
+    ]).reshape(z.shape)
+    zn = z.numpy()
+    scale = max(float(np.abs(ref).max()), 1.0)
+    assert np.abs(zn - ref).max() / scale < 1e-4, (seed, frame, hop, window)
+
+    # round-trip: WLS reconstruction is exact where the summed squared
+    # window is substantial; where coverage ~0 (e.g. hann endpoints with
+    # hop == frame) the sample is unrecoverable BY DESIGN, and tiny
+    # coverage amplifies f32 rounding by 1/sum(w^2) — mask to
+    # sum(w^2) > 0.1 inside a one-frame margin
+    y = ISTFT(frame=frame, hop=hop, window=window)(z).numpy().reshape(-1)
+    span = (n_frames - 1) * hop + frame
+    wsq = np.zeros(span)
+    for i in range(n_frames):
+        wsq[i * hop : i * hop + frame] += win.astype(np.float64) ** 2
+    m = np.zeros(span, bool)
+    m[frame : span - frame] = True
+    m &= wsq > 0.1
+    if m.any():
+        want = x2[:, :span].reshape(-1)
+        mm = np.tile(m, x2.shape[0])
+        assert np.abs(y[mm] - want[mm]).max() < 1e-4, (
+            seed, frame, hop, window)
+
+
+# ---------------------------------------------------------------------------
 # dsc.compile equivalence fuzz: the SAME random op program applied eagerly
 # and as one traced/fused XLA program (fuse.py) must agree. This pins the
 # documented dsc.compile semantics ("compiled pipelines keep the planar/
