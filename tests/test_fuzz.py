@@ -210,6 +210,29 @@ def test_fuzz_stft_istft_configs(seed):
             seed, frame, hop, window)
 
 
+@pytest.mark.parametrize('seed', range(8))
+def test_fuzz_overlap_save_configs(seed):
+    from dsc_tpu.models import OverlapSave
+
+    rng = np.random.default_rng(30_000 + seed)
+    k = int(rng.integers(2, 200))
+    fft_n = int(rng.choice([256, 512, 1024, 2048]))
+    if fft_n < 1 << (2 * k - 1).bit_length():
+        fft_n = 1 << (2 * k - 1).bit_length()
+    batch = int(rng.integers(1, 4))
+    n = int(rng.integers(k, 6000))
+    shape = (n,) if batch == 1 and rng.integers(0, 2) else (batch, n)
+    x = rng.standard_normal(shape).astype(np.float32)
+    taps = rng.standard_normal(k).astype(np.float32)
+    got = OverlapSave(taps, fft_n=fft_n)(dsc.from_numpy(x)).numpy()
+    x2 = x.reshape(-1, n)
+    ref = np.stack([np.convolve(row, taps) for row in x2]).reshape(
+        got.shape
+    )
+    scale = max(float(np.abs(ref).max()), 1.0)
+    assert np.abs(got - ref).max() / scale < 1e-4, (seed, k, fft_n, n)
+
+
 # ---------------------------------------------------------------------------
 # dsc.compile equivalence fuzz: the SAME random op program applied eagerly
 # and as one traced/fused XLA program (fuse.py) must agree. This pins the
