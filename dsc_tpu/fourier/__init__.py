@@ -31,6 +31,10 @@ __all__ = [
     'ifft',
     'rfft',
     'irfft',
+    'fft2',
+    'ifft2',
+    'rfft2',
+    'irfft2',
     'fftfreq',
     'rfftfreq',
     'plan_fft',
@@ -393,3 +397,39 @@ def rfftfreq(n: int, d: float = 1.0, dtype: Dtype = Dtype.F32) -> Tensor:
     n2 = ((n - 1) // 2 + 1) if (n & 1) else (n // 2 + 1)
     vals = (np.arange(n2, dtype=np.float64) * factor).astype(np_dt)
     return Tensor(vals)
+
+
+def _axes2(x: Tensor, axes) -> tuple:
+    a0, a1 = (_resolve_axis(x, a) for a in axes)
+    if a0 == a1:
+        raise RuntimeError(f'fft2 axes must be distinct, got {axes}')
+    return a0, a1
+
+
+def fft2(x: Tensor, s=(-1, -1), axes=(-2, -1)) -> Tensor:
+    """2-D complex FFT: separable composition of the 1-D engine over both
+    axes (np.fft.fft2 semantics, with each size rounded up to a power of
+    two per the dsc pad/crop rule). The second (last-axis) pass rides the
+    batched streaming engine; the first fuses its transpose in."""
+    a0, a1 = _axes2(x, axes)
+    return fft(fft(x, n=s[1], axis=a1), n=s[0], axis=a0)
+
+
+def ifft2(x: Tensor, s=(-1, -1), axes=(-2, -1)) -> Tensor:
+    """2-D inverse complex FFT (np.fft.ifft2 semantics + pow2 rule)."""
+    a0, a1 = _axes2(x, axes)
+    return ifft(ifft(x, n=s[1], axis=a1), n=s[0], axis=a0)
+
+
+def rfft2(x: Tensor, s=(-1, -1), axes=(-2, -1)) -> Tensor:
+    """2-D real FFT: rfft over the last transform axis, complex fft over
+    the other (np.fft.rfft2 semantics + pow2 rule)."""
+    a0, a1 = _axes2(x, axes)
+    return fft(rfft(x, n=s[1], axis=a1), n=s[0], axis=a0)
+
+
+def irfft2(x: Tensor, s=(-1, -1), axes=(-2, -1)) -> Tensor:
+    """2-D inverse real FFT (np.fft.irfft2 semantics + pow2 rule): inverse
+    complex over the first axis, Hermitian inverse over the last."""
+    a0, a1 = _axes2(x, axes)
+    return irfft(ifft(x, n=s[0], axis=a0), n=s[1], axis=a1)

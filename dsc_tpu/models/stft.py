@@ -21,18 +21,30 @@ from ..planar import Planar
 from ..tensor import Tensor
 
 
-def _make_window(window: Optional[str], frame: int) -> np.ndarray:
-    if window == 'hann':
+def _make_window(window, frame: int) -> np.ndarray:
+    """Window spec -> f32 host array. Accepts a name ('hann', 'hamming',
+    'blackman', 'rect'/None), a dsc Tensor (e.g. dsc.kaiser(frame, beta)),
+    or any array-like of length ``frame``."""
+    if isinstance(window, Tensor):
+        win = window.numpy()
+    elif window == 'hann':
         win = np.hanning(frame)
     elif window == 'hamming':
         win = np.hamming(frame)
     elif window == 'blackman':
         win = np.blackman(frame)
-    elif window in (None, 'rect'):
+    elif window is None or (isinstance(window, str) and window == 'rect'):
         win = np.ones(frame)
-    else:
+    elif isinstance(window, str):
         raise RuntimeError(f'unknown window {window!r}')
-    return win.astype(np.float32)
+    else:
+        win = np.asarray(window)
+    win = np.asarray(win, dtype=np.float32)
+    if win.shape != (frame,):
+        raise RuntimeError(
+            f'window has shape {win.shape}, expected ({frame},)'
+        )
+    return win
 
 
 def _frame_dense(x, frame: int, hop: int, n_frames: int):
@@ -89,7 +101,7 @@ class STFT:
         self,
         frame: int = 1024,
         hop: int = 256,
-        window: str = 'hann',
+        window='hann',
         log: bool = True,
         log_eps: float = 1e-10,
         mode: Optional[str] = None,
@@ -191,8 +203,7 @@ class ISTFT:
     and last ~frame samples.
     """
 
-    def __init__(self, frame: int = 1024, hop: int = 256,
-                 window: str = 'hann'):
+    def __init__(self, frame: int = 1024, hop: int = 256, window='hann'):
         self.frame = frame
         self.hop = hop
         self.fft_n = fft_plan.next_pow2(frame)

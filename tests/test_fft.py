@@ -158,3 +158,65 @@ def test_filter_fft_pipeline():
 
     ref = np.convolve(sig, filt)
     assert np.abs(conv.numpy() - ref).max() < 1e-3 * max(np.abs(ref).max(), 1.0)
+
+
+def test_fft2_family():
+    """2-D transforms vs np.fft (composition of the 1-D engine)."""
+    x = random_nd([3, 16, 32])
+    xd = dsc.from_numpy(x)
+
+    assert all_close(dsc.fft2(xd).numpy(), np.fft.fft2(x))
+    assert all_close(dsc.ifft2(xd).numpy(), np.fft.ifft2(x))
+    assert all_close(dsc.rfft2(xd).numpy(), np.fft.rfft2(x))
+
+    z = np.fft.rfft2(x)
+    zd = dsc.rfft2(xd)
+    assert all_close(dsc.irfft2(zd).numpy(), np.fft.irfft2(z))
+    # round trip recovers the input
+    assert all_close(dsc.irfft2(zd).numpy(), x)
+
+    # explicit sizes (pad) and non-default axes
+    assert all_close(
+        dsc.fft2(xd, s=(32, 64)).numpy(), np.fft.fft2(x, s=(32, 64))
+    )
+    # non-default axes (axis 0 has size 3 -> dsc pads to the next pow2, 4)
+    assert all_close(
+        dsc.fft2(xd, axes=(0, 2)).numpy(),
+        np.fft.fft2(x, s=(4, 32), axes=(0, 2)),
+    )
+    # the dsc pow2 rule: a non-pow2 size request rounds up
+    assert all_close(
+        dsc.rfft2(xd, s=(20, 48)).numpy(), np.fft.rfft2(x, s=(32, 64))
+    )
+
+
+def test_windows():
+    """Window generators vs their np oracles (kaiser rides dsc.i0)."""
+    for n in (1, 2, 64, 255):
+        assert all_close(dsc.hanning(n).numpy(), np.hanning(n).astype(np.float32))
+        assert all_close(dsc.hamming(n).numpy(), np.hamming(n).astype(np.float32))
+        assert all_close(dsc.blackman(n).numpy(), np.blackman(n).astype(np.float32))
+        for beta in (0.0, 5.0, 14.0):
+            assert all_close(
+                dsc.kaiser(n, beta).numpy(),
+                np.kaiser(n, beta).astype(np.float32),
+            ), (n, beta)
+    assert dsc.hanning(0).shape == (0,)
+    assert all_close(
+        dsc.blackman(64, dtype=dsc.Dtype.F64).numpy(), np.blackman(64)
+    )
+
+
+def test_custom_window_in_stft():
+    """STFT/ISTFT accept a dsc Tensor window (e.g. kaiser) and still
+    reconstruct exactly where the window coverage is nonzero."""
+    from dsc_tpu.models import ISTFT, STFT
+
+    frame, hop, n = 256, 64, 4096
+    win = dsc.kaiser(frame, 9.0)
+    x = np.random.default_rng(3).standard_normal(n).astype(np.float32)
+    xd = dsc.from_numpy(x)
+    z = STFT(frame=frame, hop=hop, window=win, mode='complex')(xd)
+    y = ISTFT(frame=frame, hop=hop, window=win)(z)
+    got = y.numpy()[: n - frame]  # skip the uncovered tail
+    assert all_close(got[frame:], x[frame : n - frame], eps=1e-4)
