@@ -300,6 +300,19 @@ def main() -> int:
     ok &= check('dsc.compile program cache (1 program, 2 calls)',
                 0.0 if fused_filt.n_programs == 1 else 1.0, 0.5)
 
+    # window generators on device (kaiser rides the i0 kernel) and the
+    # 2-D FFT composition
+    wk = dsc.kaiser(1024, 8.6)
+    ok &= check('kaiser window (device i0)',
+                np.abs(wk.numpy() - np.kaiser(1024, 8.6)).max(), 1e-5)
+    x2d = rng.standard_normal((8, 256, 512)).astype(np.float32)
+    z2 = dsc.rfft2(dsc.from_numpy(x2d))
+    ref2d = np.fft.rfft2(x2d)
+    ok &= check('rfft2 (8 x 256 x 512)',
+                np.abs(z2.numpy() - ref2d).max() / np.abs(ref2d).max(), 1e-4)
+    back2d = dsc.irfft2(z2)
+    ok &= check('irfft2 roundtrip', np.abs(back2d.numpy() - x2d).max(), 1e-4)
+
     with open(RESULTS_PATH, 'w') as f:
         json.dump({'ok': bool(ok), 'n_checks': len(rows),
                    'backend': backend,
