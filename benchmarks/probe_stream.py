@@ -440,6 +440,14 @@ def map_probes():
             return pm.stream_map(lambda p: p, v), w
         return step
 
+    def fma_step_d(rows, depth):
+        def step(c):
+            v, w = c
+            pm.CHUNK_ROWS = rows  # read at trace time
+            pm.DEPTH = depth
+            return pm.stream_map(jnp.add, v, w), w
+        return step
+
     variants = {}
     for rows in (1024, 2048, 4096, 8192):
         variants[f'fma@{rows}'] = fma_step(rows)
@@ -450,6 +458,19 @@ def map_probes():
         passes = 3 if name.startswith('fma') else 2
         gbs = passes * ne * 4 / t / 1e9
         print(f'  {name:>10}: {t * 1e3:7.3f} ms   {gbs:6.1f} GB/s')
+
+    print('== pallas_map (CHUNK_ROWS x DEPTH) grid, fma ==')
+    variants = {}
+    for rows in (1024, 2048, 4096):
+        for depth in (2, 4, 6, 8):
+            if rows * depth > 2048 * 8:  # VMEM: ~depth*(2 in + 1 out) bufs
+                continue
+            variants[f'fma@{rows}x{depth}'] = fma_step_d(rows, depth)
+    times = bench_chained_multi(variants, (a, b))
+    importlib.reload(pm)
+    for name, t in times.items():
+        gbs = 3 * ne * 4 / t / 1e9
+        print(f'  {name:>12}: {t * 1e3:7.3f} ms   {gbs:6.1f} GB/s')
 
 
 if __name__ == '__main__':
