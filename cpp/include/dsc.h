@@ -124,6 +124,14 @@ dsc_tensor_h dsc_irfft(dsc_tensor_h h, int n, int axis);
 dsc_tensor_h dsc_fftfreq(int n, double d, dsc_dtype dtype);
 dsc_tensor_h dsc_rfftfreq(int n, double d, dsc_dtype dtype);
 
+/* -- dsc_tpu extensions: 2-D transforms + window generators ---------------- */
+dsc_tensor_h dsc_fft2(dsc_tensor_h h, int n0, int n1, int ax0, int ax1);
+dsc_tensor_h dsc_ifft2(dsc_tensor_h h, int n0, int n1, int ax0, int ax1);
+dsc_tensor_h dsc_rfft2(dsc_tensor_h h, int n0, int n1, int ax0, int ax1);
+dsc_tensor_h dsc_irfft2(dsc_tensor_h h, int n0, int n1, int ax0, int ax1);
+/* kind: "hanning" | "hamming" | "blackman" | "kaiser" (beta used for kaiser) */
+dsc_tensor_h dsc_window(const char *kind, int n, double beta, dsc_dtype dtype);
+
 /* -- tracing (reference dsc.h:160-168) -------------------------------------- */
 void dsc_traces_record(int record);
 void dsc_dump_traces(const char *path);

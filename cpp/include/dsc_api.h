@@ -353,4 +353,52 @@ inline tensor<double> irfft(const tensor<std::complex<double>> &x, int n = -1,
     return tensor<double>(dsc_irfft(x.handle(), n, axis));
 }
 
+// 2-D transforms (dsc_tpu extension; np.fft.*2 semantics + pow2 rule)
+inline tensor<std::complex<float>> fft2(const tensor<std::complex<float>> &x,
+                                        int n0 = -1, int n1 = -1,
+                                        int ax0 = -2, int ax1 = -1) {
+    return tensor<std::complex<float>>(dsc_fft2(x.handle(), n0, n1, ax0, ax1));
+}
+
+inline tensor<std::complex<float>> ifft2(const tensor<std::complex<float>> &x,
+                                         int n0 = -1, int n1 = -1,
+                                         int ax0 = -2, int ax1 = -1) {
+    return tensor<std::complex<float>>(
+        dsc_ifft2(x.handle(), n0, n1, ax0, ax1));
+}
+
+inline tensor<std::complex<float>> rfft2(const tensor<float> &x, int n0 = -1,
+                                         int n1 = -1, int ax0 = -2,
+                                         int ax1 = -1) {
+    return tensor<std::complex<float>>(
+        dsc_rfft2(x.handle(), n0, n1, ax0, ax1));
+}
+
+inline tensor<float> irfft2(const tensor<std::complex<float>> &x, int n0 = -1,
+                            int n1 = -1, int ax0 = -2, int ax1 = -1) {
+    return tensor<float>(dsc_irfft2(x.handle(), n0, n1, ax0, ax1));
+}
+
+// window generators (dsc_tpu extension; np window semantics)
+template <typename T = float>
+tensor<T> hanning(int n) {
+    return tensor<T>(dsc_window("hanning", n, 0.0, detail::dtype_of<T>::value));
+}
+
+template <typename T = float>
+tensor<T> hamming(int n) {
+    return tensor<T>(dsc_window("hamming", n, 0.0, detail::dtype_of<T>::value));
+}
+
+template <typename T = float>
+tensor<T> blackman(int n) {
+    return tensor<T>(
+        dsc_window("blackman", n, 0.0, detail::dtype_of<T>::value));
+}
+
+template <typename T = float>
+tensor<T> kaiser(int n, double beta) {
+    return tensor<T>(dsc_window("kaiser", n, beta, detail::dtype_of<T>::value));
+}
+
 }  // namespace dsc

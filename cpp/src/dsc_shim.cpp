@@ -443,6 +443,25 @@ DSC_FFT(rfft)
 DSC_FFT(irfft)
 #undef DSC_FFT
 
+#define DSC_FFT2(NAME)                                                     \
+    dsc_tensor_h dsc_##NAME(dsc_tensor_h h, int n0, int n1, int ax0,       \
+                            int ax1) {                                     \
+        return call_handle("fft2_op", Py_BuildValue("(sLiiii)", #NAME,     \
+                           (long long) h, n0, n1, ax0, ax1));              \
+    }
+
+DSC_FFT2(fft2)
+DSC_FFT2(ifft2)
+DSC_FFT2(rfft2)
+DSC_FFT2(irfft2)
+#undef DSC_FFT2
+
+dsc_tensor_h dsc_window(const char *kind, int n, double beta,
+                        dsc_dtype dtype) {
+    return call_handle("window",
+                       Py_BuildValue("(sidi)", kind, n, beta, (int) dtype));
+}
+
 dsc_tensor_h dsc_fftfreq(int n, double d, dsc_dtype dtype) {
     return call_handle("fftfreq", Py_BuildValue("(idi)", n, d, (int) dtype));
 }

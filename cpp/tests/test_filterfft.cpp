@@ -100,6 +100,31 @@ int main() {
     auto crv = cr.to_vector();
     CHECK(std::abs(crv[1] - cv[1]) < 1e-5, "fft/ifft round trip");
 
+    // window generators + 2-D fft (dsc_tpu extensions)
+    auto w = dsc::kaiser<float>(65, 8.6);
+    std::vector<float> wv = w.to_vector();
+    CHECK(w.dim(0) == 65 && std::fabs(wv[32] - 1.0f) < 1e-6 &&
+              wv[0] < 0.02f && std::fabs(wv[0] - wv[64]) < 1e-6,
+          "kaiser window (peak 1 at center, symmetric)");
+    auto bw = dsc::blackman<float>(taps);
+    std::vector<float> bwv = bw.to_vector();
+    float werr = 0.f;
+    for (int i = 0; i < taps; ++i)
+        werr = std::max(werr, std::fabs(bwv[i] - ker[i]));
+    CHECK(werr < 1e-6f, "blackman matches the hand-rolled taps");
+
+    std::vector<float> img(16 * 32);
+    for (auto &v : img) v = dist(rng);
+    dsc::tensor<float> im({16, 32}, img.data());
+    auto z2 = dsc::rfft2(im);
+    CHECK(z2.dim(0) == 16 && z2.dim(1) == 17, "rfft2 shape (n0, n1/2+1)");
+    auto im2 = dsc::irfft2(z2);
+    std::vector<float> imv = im2.to_vector();
+    float e2 = 0.f;
+    for (int i = 0; i < 16 * 32; ++i)
+        e2 = std::max(e2, std::fabs(imv[i] - img[i]));
+    CHECK(e2 < 1e-5f, "irfft2(rfft2) round trip");
+
     CHECK(dsc_used_mem() > 0, "used_mem accounting");
 
     if (failures == 0) {

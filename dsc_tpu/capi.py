@@ -263,6 +263,31 @@ def plan_fft(n: int, dtype: int) -> None:
     dsc.plan_fft(n, Dtype(dtype))
 
 
+_FFT2 = {
+    'fft2': dsc.fft2,
+    'ifft2': dsc.ifft2,
+    'rfft2': dsc.rfft2,
+    'irfft2': dsc.irfft2,
+}
+
+
+def fft2_op(name: str, h: int, n0: int, n1: int, ax0: int, ax1: int) -> int:
+    return _put(_FFT2[name](_get(h), s=(n0, n1), axes=(ax0, ax1)))
+
+
+_WINDOWS = {
+    'hanning': dsc.hanning,
+    'hamming': dsc.hamming,
+    'blackman': dsc.blackman,
+}
+
+
+def window(kind: str, n: int, beta: float, dtype: int) -> int:
+    if kind == 'kaiser':
+        return _put(dsc.kaiser(n, beta, dtype=Dtype(dtype)))
+    return _put(_WINDOWS[kind](n, dtype=Dtype(dtype)))
+
+
 # -- tracing -------------------------------------------------------------------
 
 
