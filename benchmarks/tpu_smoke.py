@@ -300,6 +300,19 @@ def main() -> int:
     ok &= check('dsc.compile program cache (1 program, 2 calls)',
                 0.0 if fused_filt.n_programs == 1 else 1.0, 0.5)
 
+    # dsc.map: fused elementwise chain in one streaming pass
+    nm = 2**23
+    xm = rng.standard_normal(nm).astype(np.float32)
+    ym = rng.standard_normal(nm).astype(np.float32)
+    fused = dsc.map(lambda a, b: dsc.clip(a * b + 0.5, -1.0, 1.0))
+    gm = fused(dsc.from_numpy(xm), dsc.from_numpy(ym))
+    ok &= check('dsc.map fused chain (2^23, one pass)',
+                np.abs(gm.numpy() - np.clip(xm * ym + 0.5, -1.0, 1.0)).max(),
+                1e-6)
+    ok &= check('dsc.map took the streaming path',
+                0.0 if next(iter(fused._programs.values()))[0] == 'stream'
+                else 1.0, 0.5)
+
     # window generators on device (kaiser rides the i0 kernel) and the
     # 2-D FFT composition
     wk = dsc.kaiser(1024, 8.6)

@@ -32,3 +32,20 @@ def xla_only():
         yield
     finally:
         _tls.depth -= 1
+
+
+def kernel_trace_active() -> bool:
+    """True while tracing a user function INSIDE a Pallas kernel body
+    (dsc.map tiles). Ops must lower to plain vector code: no nested
+    pallas_call, no jit boundaries, and Python scalars must stay jaxpr
+    literals (a shaped constant captured by a kernel is an error)."""
+    return getattr(_tls, 'kdepth', 0) > 0
+
+
+@contextmanager
+def kernel_trace():
+    _tls.kdepth = getattr(_tls, 'kdepth', 0) + 1
+    try:
+        yield
+    finally:
+        _tls.kdepth -= 1

@@ -59,7 +59,7 @@ from . import flags, tracing
 from .planar import Planar
 from .tensor import Tensor, from_numpy
 
-__all__ = ['compile']
+__all__ = ['compile', 'map']
 
 
 def _max_programs() -> int:
@@ -356,3 +356,161 @@ def compile(fn=None, *, mesh=None, in_specs=None,  # noqa: A001 — public name
             compile, mesh=mesh, in_specs=in_specs, out_specs=out_specs
         )
     return _Compiled(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+
+class _Mapped:
+    """One fused-elementwise wrapper: signature-keyed LRU of programs.
+
+    Each cached program is either a jitted single-pass streaming kernel
+    (('stream', jitted, struct)) or the whole-pipeline XLA fallback
+    (('xla',), executed through a private _Compiled)."""
+
+    def __init__(self, fn):
+        self._fn = fn
+        self._name = getattr(fn, '__name__', 'fn')
+        self.__doc__ = getattr(fn, '__doc__', None)
+        self.__name__ = self._name
+        self._programs: 'OrderedDict[Tuple, Tuple]' = OrderedDict()
+        self._fallback = _Compiled(fn)
+
+    def _tile_fn(self, n_out: int):
+        """fn over kernel operands: full/broadcast-row tiles arrive as
+        (rows, 128) f32 slabs, 1-element operands as scalars — wrapped
+        back into Tensors so the user's elementwise body runs unchanged
+        on tiles (a (1, 1) Tensor broadcasts like the original scalar)."""
+        import jax.numpy as jnp
+
+        def tile_g(*ops):
+            ts = [
+                Tensor._from_jax(
+                    o if getattr(o, 'ndim', 0) >= 1 else jnp.reshape(o, (1, 1))
+                )
+                for o in ops
+            ]
+            # ops on tiles must lower to plain vector code INSIDE this
+            # kernel: raw unjitted jnp, scalars as literals, no nested
+            # pallas_call (flags.kernel_trace -> tensor.py raw paths)
+            with flags.kernel_trace():
+                _, leaves = _flatten_result(self._fn(*ts))
+            return leaves[0] if n_out == 1 else tuple(leaves)
+
+        return tile_g
+
+    def _make_program(self, args: Sequence[Tensor]) -> Tuple:
+        from .ops import pallas_map
+
+        shapes = [a._shape for a in args]
+        from .dtype import DTYPE_TO_NP
+
+        npdts = [DTYPE_TO_NP[a._dtype] for a in args]
+        dense = all(a._planar is None for a in args)
+        if not (
+            dense
+            and pallas_map.eligible(shapes, npdts)
+            and pallas_map.BROW_IMPL != 'b3d'
+        ):
+            return ('xla',)
+
+        # validate at full shapes: every output must be a dense f32
+        # tensor of the broadcast target shape (elementwise contract).
+        # the result structure is static — captured via a cell because
+        # eval_shape outputs must be arrays only
+        cell: Dict[str, Tuple] = {}
+
+        def full_g(*arrs):
+            ts = [Tensor._from_jax(a) for a in arrs]
+            with flags.xla_only():
+                struct, leaves = _flatten_result(self._fn(*ts))
+            cell['struct'] = struct
+            return tuple(leaves)
+
+        try:
+            out_leaves = jax.eval_shape(
+                full_g,
+                *[jax.ShapeDtypeStruct(s, d) for s, d in zip(shapes, npdts)],
+            )
+        except Exception:
+            return ('xla',)
+        struct = cell['struct']
+        target = np.broadcast_shapes(*shapes)
+        if not out_leaves or any(
+            o.shape != target or np.dtype(o.dtype) != np.dtype(np.float32)
+            for o in out_leaves
+        ):
+            return ('xla',)
+        n_out = len(out_leaves)
+        tile_g = self._tile_fn(n_out)
+
+        @jax.jit
+        def run(*arrays):
+            return pallas_map.stream_map_multi(
+                tile_g, arrays, (np.float32,) * n_out
+            )
+
+        return ('stream', run, struct)
+
+    def __call__(self, *args):
+        args = tuple(
+            from_numpy(a) if isinstance(a, np.ndarray) else a for a in args
+        )
+        if not args or not all(isinstance(a, Tensor) for a in args):
+            raise RuntimeError(
+                'dsc.map takes one or more Tensor/ndarray arguments '
+                '(bake scalar constants into the function body)'
+            )
+        key = tuple(
+            (a._shape, a._dtype, a._planar is not None) for a in args
+        )
+        prog = self._programs.get(key)
+        if prog is None:
+            prog = self._make_program(args)
+            while len(self._programs) >= _max_programs():
+                self._programs.popitem(last=False)
+            self._programs[key] = prog
+        else:
+            self._programs.move_to_end(key)
+        if prog[0] == 'xla':
+            return self._fallback(*args)
+        _, run, struct = prog
+        with tracing.trace_op(
+            f'map:{self._name}', 'op;map', {'n_args': len(args)}
+        ) as holder:
+            try:
+                outs = run(*[a.jax for a in args])
+            except Exception:
+                # an op in fn has no kernel-trace lowering (raw-table
+                # miss etc.) — downgrade this signature to the XLA path
+                self._programs[key] = ('xla',)
+                return self._fallback(*args)
+            if holder is not None and outs:
+                holder.result = outs[0]
+        return _unflatten_result(struct, iter(outs))
+
+    @property
+    def n_programs(self) -> int:
+        return len(self._programs)
+
+
+def map(fn, *tensors):  # noqa: A001 — public name, mirrors dsc.compile
+    """Fuse an elementwise Tensor pipeline into ONE streaming pass.
+
+    ``dsc.map(fn)`` returns a reusable wrapper; ``dsc.map(fn, x, y)``
+    applies immediately. ``fn`` must be ELEMENTWISE — every output
+    element depends only on the same-position input elements (chained
+    +-*/, clip, transcendentals; no reductions/FFT/slicing — those
+    compose under ``dsc.compile`` instead). Eager chains pay one HBM
+    read+write per op; under ``dsc.map`` the whole chain runs inside the
+    DMA-streaming kernel (ops/pallas_map.py), touching HBM once each
+    way — e.g. ``dsc.map(lambda x: dsc.clip(x * 2.0 + 1.0, 0.0))`` is a
+    single pass instead of three. The reference has no analog (its ops
+    are one C call each); this is the TPU-native fusion the VPU makes
+    free.
+
+    Operand shapes follow the streaming eligibility rules (f32, dense,
+    full/scalar/broadcast-row mixes); anything else — including every
+    shape on non-TPU backends — falls back to one fused XLA program with
+    identical semantics (a private ``dsc.compile`` of the same fn)."""
+    wrapper = _Mapped(fn)
+    if tensors:
+        return wrapper(*tensors)
+    return wrapper

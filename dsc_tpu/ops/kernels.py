@@ -359,3 +359,34 @@ def concat(arrays, axis):
 @partial(jax.jit, static_argnames=('dtype',))
 def cast(x, dtype):
     return x.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# raw (unjitted) op tables for the dsc.map kernel-trace path (fuse.py).
+# Inside a Pallas kernel body ops must stay plain vector jaxprs: no nested
+# jit/pallas_call, and Python scalars must remain jaxpr literals (a shaped
+# constant captured by a kernel is an error). Tiles are dense f32, so the
+# real-only formulas suffice.
+# ---------------------------------------------------------------------------
+
+RAW_BINARY = {
+    'add': jnp.add,
+    'sub': jnp.subtract,
+    'mul': jnp.multiply,
+    'div': jnp.true_divide,
+    'pow': jnp.power,
+}
+
+RAW_UNARY = {
+    'cos': jnp.cos,
+    'sin': jnp.sin,
+    'sinc': jnp.sinc,
+    'logn': jnp.log,
+    'log2': jnp.log2,
+    'log10': jnp.log10,
+    'exp': jnp.exp,
+    'sqrt': jnp.sqrt,
+    'abs': jnp.abs,
+    'angle': lambda x: jnp.arctan2(jnp.zeros_like(x), x),
+    'i0': i0,
+}

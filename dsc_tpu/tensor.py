@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import interop, tracing
+from . import flags, interop, tracing
 from .context import _get_ctx
 from .planar import Planar
 from . import planar as planar_ops
@@ -526,6 +526,17 @@ def _planar_result(pp: Planar, view_shape) -> Tensor:
 
 
 def _binary_op(xa, xb, out, name: str) -> Tensor:
+    if flags.kernel_trace_active():
+        # dsc.map tile trace (fuse.py): raw vector op, scalars as literals
+        a = xa.jax if isinstance(xa, Tensor) else xa
+        b = xb.jax if isinstance(xb, Tensor) else xb
+        if isinstance(a, (complex, np.complexfloating)) or isinstance(
+            b, (complex, np.complexfloating)
+        ):
+            raise RuntimeError(
+                'complex scalars are not supported inside dsc.map kernels'
+            )
+        return Tensor._from_jax(K.RAW_BINARY[name](a, b))
     if out is None:
         fast = _try_planar_binary(xa, xb, name)
         if fast is not None:
@@ -571,6 +582,8 @@ def power(xa, xb, out: Optional[Tensor] = None) -> Tensor:
 
 
 def _unary_op(x: Tensor, out, name: str, fn) -> Tensor:
+    if flags.kernel_trace_active():
+        return Tensor._from_jax(K.RAW_UNARY[name](x.jax))
     with tracing.trace_op(name, 'op;unary', tracing.tensor_args(x=x)) as tr:
         res = fn(x.jax)
         if tr:
@@ -696,6 +709,8 @@ def clip(
 ) -> Tensor:
     lo = x_min if x_min is not None else float('-inf')
     hi = x_max if x_max is not None else float('+inf')
+    if flags.kernel_trace_active():
+        return Tensor._from_jax(jnp.clip(x.jax, lo, hi))
     np_dt = DTYPE_TO_NP[x.dtype]
     if x.dtype.is_complex:
         lo = complex(lo, 0)

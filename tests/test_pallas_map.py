@@ -143,3 +143,84 @@ def test_eligibility_rules():
     assert not pm.eligible((big, big), (np.float64, np.float64))
     odd = (pm.MIN_ELEMS + 100,)
     assert not pm.eligible((odd, odd), (f32, f32))       # not /1024
+
+
+# -- dsc.map: user-fused elementwise chains in one streaming pass ------------
+
+
+def test_dsc_map_chain_stream():
+    """A 3-op chain through dsc.map equals the eager op chain and runs as
+    ONE streaming program."""
+    import dsc_tpu as dsc
+
+    ne = 64 * 128 * 3 + 2048
+    a = _rand(ne)
+    b = _rand(ne + 1)[1:]
+    ad, bd = dsc.from_numpy(a), dsc.from_numpy(b)
+
+    fused = dsc.map(lambda x, y: dsc.clip(x * y + 0.5, -1.0, 1.0))
+    got = fused(ad, bd)
+    want = np.clip(a * b + 0.5, -1.0, 1.0)
+    assert all_close(got.numpy(), want)
+    assert fused.n_programs == 1
+    assert fused._programs[next(iter(fused._programs))][0] == 'stream'
+    # second call reuses the cached program
+    got2 = fused(ad, bd)
+    assert fused.n_programs == 1
+    assert all_close(got2.numpy(), want)
+
+
+def test_dsc_map_scalar_and_brow_operands():
+    """1-element and broadcast-row operands stream with the chain."""
+    import dsc_tpu as dsc
+
+    rows, m = 48, 1024
+    x = _rand(rows * m).reshape(rows, m)
+    row = _rand(m)
+    s = np.float32(0.25)
+    xd = dsc.from_numpy(x)
+    rowd = dsc.from_numpy(row)
+    sd = dsc.from_numpy(np.array([s]))
+
+    fused = dsc.map(lambda t, r, k: t * r + k)
+    got = fused(xd, rowd, sd)
+    assert all_close(got.numpy(), x * row + s)
+    assert fused._programs[next(iter(fused._programs))][0] == 'stream'
+
+
+def test_dsc_map_multi_output():
+    import dsc_tpu as dsc
+
+    ne = 64 * 128 * 2
+    a, b = _rand(ne), _rand(ne + 1)[1:]
+    fused = dsc.map(lambda x, y: (x + y, x * y))
+    g1, g2 = fused(dsc.from_numpy(a), dsc.from_numpy(b))
+    assert all_close(g1.numpy(), a + b)
+    assert all_close(g2.numpy(), a * b)
+
+
+def test_dsc_map_fallback():
+    """Non-streamable signatures (f64, non-elementwise fn) fall back to
+    one fused XLA program with identical results."""
+    import dsc_tpu as dsc
+
+    a = np.random.default_rng(1).standard_normal(4096)  # f64
+    fused = dsc.map(lambda x: x * 2.0 + 1.0)
+    got = fused(dsc.from_numpy(a))
+    assert all_close(got.numpy(), a * 2.0 + 1.0)
+    assert fused._programs[next(iter(fused._programs))][0] == 'xla'
+
+    # a reduction is not elementwise: output shape validation rejects it
+    af = _rand(64 * 128 * 2)
+    red = dsc.map(lambda x: dsc.sum(x, axis=-1, keepdims=True))
+    got2 = red(dsc.from_numpy(af))
+    assert all_close(got2.numpy(), af.sum(keepdims=True))
+    assert red._programs[next(iter(red._programs))][0] == 'xla'
+
+
+def test_dsc_map_immediate_form():
+    import dsc_tpu as dsc
+
+    a = _rand(64 * 128 * 2)
+    got = dsc.map(lambda x: dsc.sqrt(dsc.absolute(x)), dsc.from_numpy(a))
+    assert all_close(got.numpy(), np.sqrt(np.abs(a)))
