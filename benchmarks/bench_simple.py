@@ -322,6 +322,29 @@ def device_sweep():
             ('scalar', f32_step, sca, 2, 4),
             ('bcast', f32_step, row, 2, 4),
         ]
+        # fused elementwise chain (dsc.map tier): one streaming pass for
+        # clip(s*0.999 + o, ...) vs the same chain as 3 separate
+        # streaming kernel calls (7 HBM passes: 2+3+2). The step decays
+        # and re-randomizes s each stage — bounded, non-repeating
+        # feedback (same-arguments cache trap, PERF.md)
+        from dsc_tpu.ops import pallas_map as pm
+
+        lo_a = jnp.full((1,), -50.0, jnp.float32)
+        hi_a = jnp.full((1,), 50.0, jnp.float32)
+        dec = jnp.float32(0.999).reshape(1, 1)
+
+        def chain_ops(s, o):
+            t1 = ops_kernels.mul(s, dec, np.float32)
+            t2 = ops_kernels.add(t1, o, np.float32)
+            return ops_kernels.clip(t2, lo_a, hi_a)
+
+        def chain_map(s, o):
+            return pm.stream_map(
+                lambda a, b: jnp.clip(a * 0.999 + b, -50.0, 50.0), s, o
+            )
+
+        variants.append(('chain3_ops', chain_ops, y, 7, 4))
+        variants.append(('chain3_map', chain_map, y, 3, 4))
         # XLA-path stages (f64, sum) need an optimization_barrier between
         # chain stages: XLA loop-fuses k chained elementwise stages into
         # ONE pass over the operands (correct, and great for real users,
