@@ -300,6 +300,27 @@ def main() -> int:
     ok &= check('dsc.compile program cache (1 program, 2 calls)',
                 0.0 if fused_filt.n_programs == 1 else 1.0, 0.5)
 
+    # resample + hilbert pipelines (planar rfft/irfft programs)
+    from dsc_tpu.models import hilbert, resample
+    xs = rng.standard_normal(2**16).astype(np.float32)
+    Xf = np.fft.fft(xs)
+    numr = 2**14
+    Yf = np.zeros(numr, complex)
+    Yf[: numr // 2] = Xf[: numr // 2]
+    Yf[-(numr // 2 - 1):] = Xf[-(numr // 2 - 1):]
+    Yf[numr // 2] = Xf[numr // 2] + Xf[len(xs) - numr // 2]
+    ref_rs = np.fft.ifft(Yf).real * (numr / len(xs))
+    got_rs = resample(dsc.from_numpy(xs), numr).numpy()
+    ok &= check('resample 2^16 -> 2^14 (fourier)',
+                np.abs(got_rs - ref_rs).max(), 1e-4)
+    hmul = np.zeros(len(xs))
+    hmul[0] = hmul[len(xs) // 2] = 1
+    hmul[1:len(xs) // 2] = 2
+    ref_h = np.fft.ifft(Xf * hmul)
+    got_h = hilbert(dsc.from_numpy(xs)).numpy()
+    ok &= check('hilbert analytic signal 2^16',
+                np.abs(got_h - ref_h).max(), 1e-4)
+
     # dsc.map: fused elementwise chain in one streaming pass
     nm = 2**23
     xm = rng.standard_normal(nm).astype(np.float32)

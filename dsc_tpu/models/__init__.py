@@ -10,6 +10,7 @@ set.
 
 from .filter_fft import FilterFFT, fft_convolve
 from .ola import OverlapSave, overlap_save_convolve
+from .spectral import hilbert, resample
 from .stft import ISTFT, STFT, spectrogram
 
 __all__ = [
@@ -20,4 +21,6 @@ __all__ = [
     'STFT',
     'ISTFT',
     'spectrogram',
+    'resample',
+    'hilbert',
 ]

@@ -1,0 +1,122 @@
+"""FFT-domain signal utilities: ``resample`` and ``hilbert``.
+
+Classic DSP pipelines the reference leaves to the user (its op set stops
+at the raw FFT family, dsc.h:384-424); here each runs as ONE jitted
+program over the planar rfft/irfft engines — no complex64 materializes
+on device and batched input rides the batched FFT engine as one pass.
+
+Both require power-of-two lengths: the dsc FFT identity is "sizes round
+up to the next power of two" (dsc.cpp:2023-2028), and silently padding
+would change what resample/hilbert compute — so non-pow2 lengths raise
+instead.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import tracing
+from ..fourier import core as fft_core
+from ..fourier import plan as fft_plan
+from ..planar import Planar
+from ..tensor import Tensor
+
+
+def _check_signal(x: Tensor, who: str) -> tuple:
+    if x.n_dim > 2:
+        raise RuntimeError(f'{who}: expected a 1-D or 2-D signal, got {x.n_dim}-D')
+    n = x.shape[-1]
+    if n < 2 or n & (n - 1):
+        raise RuntimeError(
+            f'{who}: length {n} is not a power of two (the dsc FFT family '
+            'is power-of-two; pad/crop explicitly first)'
+        )
+    return x.n_dim == 2, n
+
+
+@partial(jax.jit, static_argnames=('n', 'num', 'spec_in', 'spec_out'))
+def _resample_program(x, tables_in, tables_out, n, num, spec_in, spec_out):
+    """(b, n) real -> (b, num) real, Fourier method (the scipy.signal
+    .resample algorithm on the half spectrum): crop or zero-pad the
+    spectrum, fold/split the Nyquist bin, inverse, scale by num/n."""
+    xr, xi = fft_core.rfft_batched_p(x, spec_in, tables_in, n)
+    nb = num // 2 + 1
+    if num < n:
+        yr, yi = xr[:, :nb], xi[:, :nb]
+        # the new Nyquist bin aggregates X[num/2] and its mirror
+        # X[n - num/2] = conj(X[num/2]) -> 2*Re (pow2 num is even)
+        yr = yr.at[:, -1].set(2.0 * xr[:, num // 2])
+        yi = yi.at[:, -1].set(0.0)
+    elif num > n:
+        pad = nb - (n // 2 + 1)
+        yr = jnp.pad(xr, ((0, 0), (0, pad)))
+        yi = jnp.pad(xi, ((0, 0), (0, pad)))
+        # the old Nyquist energy splits between bin n/2 and its new
+        # mirror num - n/2; the half representation stores only bin n/2
+        yr = yr.at[:, n // 2].mul(0.5)
+        yi = yi.at[:, n // 2].mul(0.5)
+    else:
+        yr, yi = xr, xi
+    y = fft_core.irfft_batched_p(yr, yi, spec_out, tables_out, num)
+    return y * np.float32(num / n)
+
+
+def resample(x: Tensor, num: int) -> Tensor:
+    """Resample a real signal to ``num`` samples via the Fourier method
+    (scipy.signal.resample semantics). x: (n,) or (batch, n) f32 with n
+    and num powers of two; returns (num,) / (batch, num) f32."""
+    batched, n = _check_signal(x, 'resample')
+    if num < 2 or num & (num - 1):
+        raise RuntimeError(f'resample: num ({num}) must be a power of two >= 2')
+    if x.dtype.is_complex:
+        raise RuntimeError('resample expects a real signal')
+    spec_in, tables_in = fft_plan.get_plan(n, 'real', np.complex64)
+    spec_out, tables_out = fft_plan.get_plan(num, 'real', np.complex64)
+    xj = x.jax if batched else x.jax[None, :]
+    with tracing.trace_op(
+        'resample', 'op;pipeline', tracing.tensor_args(x=x)
+    ) as tr:
+        out = _resample_program(
+            xj.astype(jnp.float32), tables_in, tables_out, n, num,
+            spec_in, spec_out,
+        )
+        if tr:
+            tr.result = out
+    return Tensor._from_jax(out if batched else out[0])
+
+
+@partial(jax.jit, static_argnames=('n', 'spec'))
+def _hilbert_program(x, tables, n, spec):
+    """(b, n) real -> (re, im) planes of the analytic signal. The
+    Hilbert transform is the inverse of -i*sign(k)*X, which on the half
+    spectrum is (Zr, Zi) = (Im X, -Re X) with DC and Nyquist zeroed —
+    one extra irfft, everything real-typed."""
+    xr, xi = fft_core.rfft_batched_p(x, spec, tables, n)
+    zr = xi.at[:, 0].set(0.0).at[:, -1].set(0.0)
+    zi = (-xr).at[:, 0].set(0.0).at[:, -1].set(0.0)
+    ht = fft_core.irfft_batched_p(zr, zi, spec, tables, n)
+    return x.astype(ht.dtype), ht
+
+
+def hilbert(x: Tensor) -> Tensor:
+    """Analytic signal x + i*HT(x) (scipy.signal.hilbert semantics).
+    x: (n,) or (batch, n) f32, n a power of two; returns a c32 tensor of
+    the same shape, stored planar (real plane IS the input signal)."""
+    batched, n = _check_signal(x, 'hilbert')
+    if x.dtype.is_complex:
+        raise RuntimeError('hilbert expects a real signal')
+    spec, tables = fft_plan.get_plan(n, 'real', np.complex64)
+    xj = x.jax if batched else x.jax[None, :]
+    with tracing.trace_op(
+        'hilbert', 'op;pipeline', tracing.tensor_args(x=x)
+    ) as tr:
+        re, im = _hilbert_program(xj.astype(jnp.float32), tables, n, spec)
+        if tr:
+            tr.result = im
+    if not batched:
+        re, im = re[0], im[0]
+    return Tensor._from_planar(Planar(re, im, tuple(re.shape)))

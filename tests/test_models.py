@@ -253,3 +253,84 @@ def test_istft_length_and_validation():
 
     with _pytest.raises(RuntimeError, match='bins'):
         ISTFT(frame=64, hop=32)(z)
+
+
+def test_resample():
+    """Fourier resampling vs a full-spectrum NumPy oracle (the
+    scipy.signal.resample algorithm)."""
+    import numpy as np
+
+    import dsc_tpu as dsc
+    from dsc_tpu.models import resample
+
+    def np_resample(x, num):
+        n = x.shape[-1]
+        X = np.fft.fft(x, axis=-1)
+        Y = np.zeros(x.shape[:-1] + (num,), complex)
+        N = min(n, num)
+        nyq = N // 2
+        Y[..., :nyq] = X[..., :nyq]
+        Y[..., -(nyq - 1):] = X[..., -(nyq - 1):]
+        if num < n:
+            Y[..., nyq] = X[..., nyq] + X[..., n - nyq]
+        elif num > n:
+            Y[..., nyq] = 0.5 * X[..., nyq]
+            Y[..., num - nyq] = np.conj(Y[..., nyq])
+        else:
+            Y[..., nyq] = X[..., nyq]
+        return np.fft.ifft(Y, axis=-1).real * (num / n)
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(512).astype(np.float32)
+    xd = dsc.from_numpy(x)
+    for num in (128, 512, 2048):
+        got = resample(xd, num).numpy()
+        want = np_resample(x, num)
+        assert got.shape == (num,)
+        assert np.abs(got - want).max() < 1e-4, num
+
+    xb = rng.standard_normal((3, 256)).astype(np.float32)
+    got = resample(dsc.from_numpy(xb), 64).numpy()
+    assert got.shape == (3, 64)
+    assert np.abs(got - np_resample(xb, 64)).max() < 1e-4
+
+    try:
+        resample(dsc.from_numpy(x[:500]), 128)
+        raise AssertionError('non-pow2 length must raise')
+    except RuntimeError:
+        pass
+
+
+def test_hilbert():
+    """Analytic signal vs the classic FFT-multiplier oracle."""
+    import numpy as np
+
+    import dsc_tpu as dsc
+    from dsc_tpu.models import hilbert
+
+    def np_hilbert(x):
+        n = x.shape[-1]
+        X = np.fft.fft(x, axis=-1)
+        h = np.zeros(n)
+        h[0] = h[n // 2] = 1
+        h[1:n // 2] = 2
+        return np.fft.ifft(X * h, axis=-1)
+
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal(1024).astype(np.float32)
+    got = hilbert(dsc.from_numpy(x)).numpy()
+    want = np_hilbert(x)
+    assert got.dtype == np.complex64
+    assert np.abs(got - want).max() < 1e-4
+    # the real plane is the input signal itself
+    assert np.abs(got.real - x).max() < 1e-5
+    # envelope of a chirp is smooth and positive
+    t = np.arange(2048) / 2048
+    chirp = np.sin(2 * np.pi * (50 * t + 200 * t**2)).astype(np.float32)
+    env = np.abs(hilbert(dsc.from_numpy(chirp)).numpy())
+    assert env.min() > 0.2 and env.max() < 1.3
+
+    xb = rng.standard_normal((2, 512)).astype(np.float32)
+    gotb = hilbert(dsc.from_numpy(xb)).numpy()
+    assert gotb.shape == (2, 512)
+    assert np.abs(gotb - np_hilbert(xb)).max() < 1e-4
