@@ -224,3 +224,21 @@ def test_dsc_map_immediate_form():
     a = _rand(64 * 128 * 2)
     got = dsc.map(lambda x: dsc.sqrt(dsc.absolute(x)), dsc.from_numpy(a))
     assert all_close(got.numpy(), np.sqrt(np.abs(a)))
+
+
+def test_dsc_map_under_compile():
+    """A dsc.map wrapper composes inside a dsc.compile pipeline: the
+    streaming kernel traces into the outer program."""
+    import dsc_tpu as dsc
+
+    ne = 64 * 128 * 2
+    a, b = _rand(ne), _rand(ne + 1)[1:]
+    fused = dsc.map(lambda x, y: dsc.clip(x * y + 0.5, -1.0, 1.0))
+
+    @dsc.compile
+    def pipe(x, y):
+        return fused(x, y) * 2.0
+
+    got = pipe(dsc.from_numpy(a), dsc.from_numpy(b)).numpy()
+    assert all_close(got, np.clip(a * b + 0.5, -1.0, 1.0) * 2.0)
+    assert next(iter(fused._programs.values()))[0] == 'stream'
