@@ -528,6 +528,10 @@ def _planar_result(pp: Planar, view_shape) -> Tensor:
 def _binary_op(xa, xb, out, name: str) -> Tensor:
     if flags.kernel_trace_active():
         # dsc.map tile trace (fuse.py): raw vector op, scalars as literals
+        if out is not None:
+            # honored only by the XLA fallback — raising here makes the
+            # map wrapper downgrade this signature to it
+            raise RuntimeError('out= is not supported inside dsc.map kernels')
         a = xa.jax if isinstance(xa, Tensor) else xa
         b = xb.jax if isinstance(xb, Tensor) else xb
         if isinstance(a, (complex, np.complexfloating)) or isinstance(
@@ -583,6 +587,8 @@ def power(xa, xb, out: Optional[Tensor] = None) -> Tensor:
 
 def _unary_op(x: Tensor, out, name: str, fn) -> Tensor:
     if flags.kernel_trace_active():
+        if out is not None:
+            raise RuntimeError('out= is not supported inside dsc.map kernels')
         return Tensor._from_jax(K.RAW_UNARY[name](x.jax))
     with tracing.trace_op(name, 'op;unary', tracing.tensor_args(x=x)) as tr:
         res = fn(x.jax)
