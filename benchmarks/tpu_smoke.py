@@ -321,6 +321,19 @@ def main() -> int:
     ok &= check('hilbert analytic signal 2^16',
                 np.abs(got_h - ref_h).max(), 1e-4)
 
+    # welch PSD + firwin design (scipy.signal is the model-layer oracle)
+    import scipy.signal as sps
+
+    from dsc_tpu.models import firwin, welch
+
+    _, pxw = welch(dsc.from_numpy(xs), fs=1000.0, nperseg=1024)
+    _, pxw_ref = sps.welch(xs, fs=1000.0, nperseg=1024)
+    ok &= check('welch PSD 2^16 (nperseg=1024)',
+                np.abs(pxw.numpy() - pxw_ref).max() / pxw_ref.max(), 2e-4)
+    tapw = firwin(65, 0.3)
+    ok &= check('firwin lowpass taps (device sinc/window ops)',
+                np.abs(tapw.numpy() - sps.firwin(65, 0.3)).max(), 1e-5)
+
     # dsc.map: fused elementwise chain in one streaming pass
     nm = 2**23
     xm = rng.standard_normal(nm).astype(np.float32)

@@ -9,7 +9,9 @@ set.
 """
 
 from .filter_fft import FilterFFT, fft_convolve
+from .fir import firwin
 from .ola import OverlapSave, overlap_save_convolve
+from .psd import periodogram, welch
 from .spectral import hilbert, resample
 from .stft import ISTFT, STFT, spectrogram
 
@@ -23,4 +25,7 @@ __all__ = [
     'spectrogram',
     'resample',
     'hilbert',
+    'welch',
+    'periodogram',
+    'firwin',
 ]

@@ -1,0 +1,109 @@
+"""Window-method FIR filter design: ``firwin``.
+
+scipy.signal.firwin semantics, computed with the PUBLIC dsc op surface
+(``arange``/``sinc``/``cos``/``sum`` and the device window generators) —
+the reference ships ``sinc`` and Bessel-I0 precisely because they are the
+FIR-design primitives (dsc_ops.h:92-145, dsc.cpp:1624-1721); this module
+is the pipeline the reference leaves as a user exercise. The taps come
+back as a dsc Tensor ready to feed :class:`~dsc_tpu.models.OverlapSave` /
+:class:`~dsc_tpu.models.FilterFFT`.
+
+Design-time code: a handful of eager public-op dispatches on vectors of
+``numtaps`` elements, not a hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Union
+
+import numpy as np
+
+from ..dtype import Dtype
+from ..tensor import Tensor, arange, cos, from_numpy, ones, sinc
+from ..tensor import sum as dsc_sum
+from ..windows import blackman, hamming, hanning, kaiser
+
+
+def _design_window(window, numtaps: int, dtype: Dtype) -> Tensor:
+    """Window spec -> dsc Tensor of length numtaps, generated on device
+    for the named windows. Accepts 'hamming'/'hann'/'hanning'/'blackman'/
+    'rect'/None, ('kaiser', beta), a Tensor, or any array-like."""
+    if isinstance(window, Tensor):
+        win = window
+    elif window is None or window in ('rect', 'boxcar'):
+        win = ones((numtaps,), dtype=dtype)
+    elif isinstance(window, str):
+        maker = {
+            'hamming': hamming, 'hann': hanning, 'hanning': hanning,
+            'blackman': blackman,
+        }.get(window)
+        if maker is None:
+            raise RuntimeError(f'firwin: unknown window {window!r}')
+        win = maker(numtaps, dtype=dtype)
+    elif isinstance(window, tuple) and len(window) == 2 and window[0] == 'kaiser':
+        win = kaiser(numtaps, window[1], dtype=dtype)
+    else:
+        win = from_numpy(np.asarray(window, dtype=np.float32))
+    if win.shape != (numtaps,):
+        raise RuntimeError(
+            f'firwin: window has shape {win.shape}, expected ({numtaps},)'
+        )
+    return win
+
+
+def firwin(
+    numtaps: int,
+    cutoff: Union[float, Sequence[float]],
+    window='hamming',
+    pass_zero: bool = True,
+    scale: bool = True,
+    fs: float = 2.0,
+    dtype: Dtype = Dtype.F32,
+) -> Tensor:
+    """Design a linear-phase FIR filter by the window method
+    (scipy.signal.firwin semantics). ``cutoff``: one or more band edges
+    in the same units as ``fs`` (strictly inside (0, fs/2), increasing).
+    ``pass_zero=True`` keeps DC (lowpass / bandstop); ``False`` rejects
+    it (highpass / bandpass). Returns the (numtaps,) taps as a Tensor."""
+    if numtaps < 1:
+        raise RuntimeError(f'firwin: numtaps ({numtaps}) must be >= 1')
+    cut = np.atleast_1d(np.asarray(cutoff, dtype=np.float64)) / (fs / 2.0)
+    if cut.size == 0:
+        raise RuntimeError('firwin: at least one cutoff frequency required')
+    if np.any(cut <= 0) or np.any(cut >= 1):
+        raise RuntimeError(
+            'firwin: cutoff must lie strictly inside (0, fs/2)'
+        )
+    if cut.size > 1 and np.any(np.diff(cut) <= 0):
+        raise RuntimeError('firwin: cutoff frequencies must be increasing')
+    pass_nyquist = bool(cut.size & 1) ^ bool(pass_zero)
+    if pass_nyquist and numtaps % 2 == 0:
+        raise RuntimeError(
+            'firwin: a filter passing Nyquist (e.g. highpass) must have '
+            'an odd number of taps'
+        )
+    edges = np.hstack(
+        ([0.0] if pass_zero else [], cut, [1.0] if pass_nyquist else [])
+    )
+    bands = edges.reshape(-1, 2)
+
+    # h[k] = sum_bands right*sinc(right*(k-m)) - left*sinc(left*(k-m)),
+    # all through the public op surface so the whole design is a dsc
+    # program (sinc is the reference's own FIR primitive).
+    m = (numtaps - 1) / 2.0
+    k = arange(numtaps, dtype=dtype)
+    shifted = k - m
+    h = None
+    for left, right in bands:
+        term = sinc(shifted * float(right)) * float(right)
+        if left > 0.0:
+            term = term - sinc(shifted * float(left)) * float(left)
+        h = term if h is None else h + term
+    h = h * _design_window(window, numtaps, dtype)
+    if scale:
+        # normalize unit response at the center of the first passband
+        left, right = bands[0]
+        sf = 0.0 if left == 0.0 else (1.0 if right == 1.0 else (left + right) / 2.0)
+        resp = h * cos(shifted * float(np.pi * sf)) if sf else h
+        h = h / dsc_sum(resp, axis=-1, keepdims=True)
+    return h

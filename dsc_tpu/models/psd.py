@@ -1,0 +1,172 @@
+"""Power spectral density estimators: ``periodogram`` and ``welch``.
+
+The reference stops at the raw FFT family (dsc.h:384-424) and leaves PSD
+estimation to the user; these run the classic estimators as ONE jitted
+program each (frame -> detrend -> window -> rfft -> |.|^2 -> average ->
+scale), with scipy.signal semantics as the executable specification.
+Framing reuses the STFT's dense shifted-slice formulation (pure data
+movement XLA fuses into the rfft input pass) and all segments ride the
+batched FFT engine as one pass.
+
+Power-of-two segment lengths only: the dsc FFT identity is "sizes round
+up to the next power of two" (reference dsc.cpp:2023-2028), and silently
+padding a PSD segment would change the estimate — so non-pow2 raises.
+Unlike scipy, a signal shorter than ``nperseg`` raises instead of
+auto-shrinking the segment (fail-fast, reference DSC_ASSERT ethos).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import tracing
+from ..fourier import core as fft_core
+from ..fourier import plan as fft_plan
+from ..tensor import Tensor
+from .stft import _frame_dense, _make_window
+
+
+def _spectral_window(window, nperseg: int) -> np.ndarray:
+    """Window spec -> f32 host array under scipy.signal's PSD convention:
+    named windows are PERIODIC (``get_window(..., fftbins=True)``), i.e.
+    the length-(n+1) symmetric window with the last sample dropped — not
+    the symmetric np.* forms the STFT models use. Tensors/array-likes
+    pass through as given."""
+    if isinstance(window, str):
+        maker = {
+            'hann': np.hanning, 'hamming': np.hamming,
+            'blackman': np.blackman,
+        }.get(window)
+        if maker is None:
+            raise RuntimeError(f'unknown window {window!r}')
+        return maker(nperseg + 1)[:-1].astype(np.float32)
+    return _make_window(window, nperseg)
+
+
+def _median_bias(n: int) -> float:
+    """Bias of the median of n chi^2_2 variates relative to their mean
+    (scipy.signal._spectral_py._median_bias)."""
+    ii_2 = 2.0 * np.arange(1.0, (n - 1) // 2 + 1)
+    return float(1.0 + np.sum(1.0 / (ii_2 + 1.0) - 1.0 / ii_2))
+
+
+@partial(
+    jax.jit,
+    static_argnames=('nperseg', 'hop', 'n_frames', 'spec', 'detrend',
+                     'average'),
+)
+def _welch_program(x, window, tables, scale, bias, nperseg, hop, n_frames,
+                   spec, detrend, average):
+    """(b, n) real -> (b, nperseg//2+1) PSD. One XLA program."""
+    segs = _frame_dense(x, nperseg, hop, n_frames)  # (b, n_frames, nperseg)
+    if detrend == 'constant':
+        segs = segs - jnp.mean(segs, axis=-1, keepdims=True)
+    elif detrend == 'linear':
+        # closed-form least-squares line fit per segment over k=0..m-1
+        k = jnp.arange(nperseg, dtype=segs.dtype)
+        kc = k - (nperseg - 1) / 2.0
+        denom = jnp.sum(kc * kc)
+        slope = jnp.sum(segs * kc, axis=-1, keepdims=True) / denom
+        mean = jnp.mean(segs, axis=-1, keepdims=True)
+        segs = segs - (mean + slope * kc)
+    fx = (segs * window[None, None, :]).reshape(-1, nperseg)
+    z = fft_core.rfft_batched(fx, spec, tables, nperseg)
+    power = (jnp.real(z) ** 2 + jnp.imag(z) ** 2).reshape(
+        x.shape[0], n_frames, -1
+    )
+    if average == 'median':
+        pxx = jnp.median(power, axis=1) / bias
+    else:
+        pxx = jnp.mean(power, axis=1)
+    # one-sided doubling: every bin but DC and Nyquist carries its mirror
+    pxx = pxx * scale
+    return pxx.at[:, 1:-1].mul(2.0)
+
+
+def welch(
+    x: Tensor,
+    fs: float = 1.0,
+    window='hann',
+    nperseg: int = 256,
+    noverlap: Optional[int] = None,
+    detrend='constant',
+    scaling: str = 'density',
+    average: str = 'mean',
+) -> tuple:
+    """Welch average-periodogram PSD estimate (scipy.signal.welch
+    semantics, one-sided). x: (n,) or (batch, n) real; ``nperseg`` a
+    power of two. Returns ``(f, Pxx)`` Tensors: f is (nperseg//2+1,)
+    sample frequencies, Pxx is (nperseg//2+1,) (or batched) in units of
+    V**2/Hz (``scaling='density'``) or V**2 (``'spectrum'``)."""
+    if x.n_dim > 2:
+        raise RuntimeError(f'welch: expected a 1-D or 2-D signal, got {x.n_dim}-D')
+    if x.dtype.is_complex:
+        raise RuntimeError('welch expects a real signal')
+    if nperseg < 2 or nperseg & (nperseg - 1):
+        raise RuntimeError(
+            f'welch: nperseg ({nperseg}) is not a power of two (the dsc '
+            'FFT family is power-of-two)'
+        )
+    n = x.shape[-1]
+    if n < nperseg:
+        raise RuntimeError(f'welch: signal ({n}) shorter than nperseg ({nperseg})')
+    if noverlap is None:
+        noverlap = nperseg // 2
+    if not 0 <= noverlap < nperseg:
+        raise RuntimeError(f'welch: noverlap ({noverlap}) must be in [0, nperseg)')
+    if scaling not in ('density', 'spectrum'):
+        raise RuntimeError(f'welch: unknown scaling {scaling!r}')
+    if average not in ('mean', 'median'):
+        raise RuntimeError(f'welch: unknown average {average!r}')
+    if detrend in (False, None):
+        detrend = 'none'
+    if detrend not in ('constant', 'linear', 'none'):
+        raise RuntimeError(f'welch: unknown detrend {detrend!r}')
+    hop = nperseg - noverlap
+    n_frames = 1 + (n - nperseg) // hop
+    win = _spectral_window(window, nperseg)
+    w64 = win.astype(np.float64)
+    if scaling == 'density':
+        scale = 1.0 / (fs * float(np.sum(w64 * w64)))
+    else:
+        scale = 1.0 / float(np.sum(w64)) ** 2
+    bias = _median_bias(n_frames) if average == 'median' else 1.0
+    batched = x.n_dim == 2
+    spec, tables = fft_plan.get_plan(nperseg, 'real', np.complex64)
+    xj = x.jax if batched else x.jax[None, :]
+    with tracing.trace_op(
+        'welch', 'op;pipeline', tracing.tensor_args(x=x)
+    ) as tr:
+        pxx = _welch_program(
+            xj.astype(jnp.float32), jnp.asarray(win), tables,
+            np.float32(scale), np.float32(bias), nperseg, hop, n_frames,
+            spec, detrend, average,
+        )
+        if tr:
+            tr.result = pxx
+    from .. import fourier as _fourier
+
+    f = _fourier.rfftfreq(nperseg, d=1.0 / fs)
+    return f, Tensor._from_jax(pxx if batched else pxx[0])
+
+
+def periodogram(
+    x: Tensor,
+    fs: float = 1.0,
+    window=None,
+    detrend='constant',
+    scaling: str = 'density',
+) -> tuple:
+    """Single-segment PSD estimate (scipy.signal.periodogram semantics,
+    one-sided; scipy's default boxcar window == ``window=None``).
+    x: (n,) or (batch, n) real with n a power of two. Returns (f, Pxx)."""
+    n = x.shape[-1]
+    return welch(
+        x, fs=fs, window=window, nperseg=n, noverlap=0, detrend=detrend,
+        scaling=scaling,
+    )

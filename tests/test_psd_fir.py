@@ -1,0 +1,166 @@
+"""PSD estimators (welch/periodogram) and FIR design (firwin) vs scipy.
+
+scipy.signal is the executable specification for these pipelines, the
+same way NumPy is for the op set (reference README.md:173-180 testing
+philosophy extended to the model layer).
+"""
+
+import numpy as np
+import pytest
+import scipy.signal as sps
+
+import dsc_tpu as dsc
+from dsc_tpu.models import firwin, periodogram, welch
+
+
+def _sig(n, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 1000.0
+    x = np.sin(2 * np.pi * 97.0 * t) + 0.5 * rng.standard_normal(n)
+    return x.astype(np.float32)
+
+
+def _close(got, ref, tol=2e-4):
+    scale = max(np.abs(ref).max(), 1e-30)
+    assert np.abs(got - ref).max() < tol * scale
+
+
+# ---------------------------------------------------------------- welch
+
+@pytest.mark.parametrize('nperseg,noverlap', [(256, None), (512, 384), (1024, 0)])
+def test_welch_matches_scipy(nperseg, noverlap):
+    x = _sig(8192)
+    f, pxx = welch(dsc.from_numpy(x), fs=1000.0, nperseg=nperseg,
+                   noverlap=noverlap)
+    f_ref, p_ref = sps.welch(x, fs=1000.0, nperseg=nperseg,
+                             noverlap=noverlap)
+    assert np.allclose(f.numpy(), f_ref)
+    _close(pxx.numpy(), p_ref)
+
+
+@pytest.mark.parametrize('window', ['hamming', 'blackman', None])
+def test_welch_windows(window):
+    x = _sig(4096, seed=1)
+    _, pxx = welch(dsc.from_numpy(x), window=window, nperseg=256)
+    _, p_ref = sps.welch(x, window=window or 'boxcar', nperseg=256)
+    _close(pxx.numpy(), p_ref)
+
+
+def test_welch_spectrum_scaling():
+    x = _sig(4096, seed=2)
+    _, pxx = welch(dsc.from_numpy(x), fs=8.0, nperseg=512,
+                   scaling='spectrum')
+    _, p_ref = sps.welch(x, fs=8.0, nperseg=512, scaling='spectrum')
+    _close(pxx.numpy(), p_ref)
+
+
+@pytest.mark.parametrize('detrend', ['constant', 'linear', False])
+def test_welch_detrend(detrend):
+    # add a strong trend so detrending is load-bearing
+    x = _sig(4096, seed=3) + np.linspace(0, 50, 4096, dtype=np.float32)
+    _, pxx = welch(dsc.from_numpy(x), nperseg=256, detrend=detrend)
+    _, p_ref = sps.welch(x, nperseg=256, detrend=detrend)
+    _close(pxx.numpy(), p_ref, tol=5e-4)
+
+
+def test_welch_median_average():
+    x = _sig(8192, seed=4)
+    _, pxx = welch(dsc.from_numpy(x), nperseg=256, average='median')
+    _, p_ref = sps.welch(x, nperseg=256, average='median')
+    _close(pxx.numpy(), p_ref)
+
+
+def test_welch_batched_matches_rowwise():
+    xs = np.stack([_sig(4096, seed=s) for s in range(3)])
+    _, pxx = welch(dsc.from_numpy(xs), nperseg=256)
+    _, p_ref = sps.welch(xs, nperseg=256, axis=-1)
+    assert pxx.shape == p_ref.shape
+    _close(pxx.numpy(), p_ref)
+
+
+def test_welch_rejects_bad_args():
+    x = dsc.from_numpy(_sig(1024))
+    with pytest.raises(RuntimeError):
+        welch(x, nperseg=300)  # non-pow2
+    with pytest.raises(RuntimeError):
+        welch(x, nperseg=2048)  # longer than the signal
+    with pytest.raises(RuntimeError):
+        welch(x, nperseg=256, noverlap=256)
+    with pytest.raises(RuntimeError):
+        welch(x, nperseg=256, scaling='nope')
+
+
+def test_periodogram_matches_scipy():
+    x = _sig(4096, seed=5)
+    f, pxx = periodogram(dsc.from_numpy(x), fs=100.0)
+    f_ref, p_ref = sps.periodogram(x, fs=100.0)
+    assert np.allclose(f.numpy(), f_ref)
+    _close(pxx.numpy(), p_ref)
+
+
+def test_periodogram_windowed():
+    x = _sig(2048, seed=6)
+    _, pxx = periodogram(dsc.from_numpy(x), window='hann')
+    _, p_ref = sps.periodogram(x, window='hann')
+    _close(pxx.numpy(), p_ref)
+
+
+# --------------------------------------------------------------- firwin
+
+@pytest.mark.parametrize(
+    'numtaps,cutoff,pass_zero',
+    [
+        (65, 0.3, True),       # lowpass
+        (64, 0.25, True),      # even-tap lowpass
+        (65, 0.3, False),      # highpass (odd taps required)
+        (64, [0.2, 0.5], False),  # bandpass
+        (65, [0.2, 0.5], True),   # bandstop
+        (33, [0.1, 0.3, 0.6], False),  # multi-band
+    ],
+)
+def test_firwin_matches_scipy(numtaps, cutoff, pass_zero):
+    got = firwin(numtaps, cutoff, pass_zero=pass_zero).numpy()
+    ref = sps.firwin(numtaps, cutoff, pass_zero=pass_zero)
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 1e-5
+
+
+@pytest.mark.parametrize('window', ['hann', 'blackman', ('kaiser', 8.6), None])
+def test_firwin_windows(window):
+    got = firwin(65, 0.4, window=window).numpy()
+    ref = sps.firwin(65, 0.4, window=window or 'boxcar')
+    assert np.abs(got - ref).max() < 1e-5
+
+
+def test_firwin_fs_units():
+    got = firwin(51, 100.0, fs=1000.0).numpy()
+    ref = sps.firwin(51, 100.0, fs=1000.0)
+    assert np.abs(got - ref).max() < 1e-5
+
+
+def test_firwin_no_scale():
+    got = firwin(65, 0.3, scale=False).numpy()
+    ref = sps.firwin(65, 0.3, scale=False)
+    assert np.abs(got - ref).max() < 1e-5
+
+
+def test_firwin_rejects_bad_args():
+    with pytest.raises(RuntimeError):
+        firwin(64, 0.3, pass_zero=False)  # even-tap highpass
+    with pytest.raises(RuntimeError):
+        firwin(65, 1.5)  # cutoff outside (0, 1)
+    with pytest.raises(RuntimeError):
+        firwin(65, [0.5, 0.2])  # non-increasing
+    with pytest.raises(RuntimeError):
+        firwin(0, 0.3)
+
+
+def test_firwin_feeds_overlap_save():
+    # the designed taps drive the block convolver end-to-end
+    from dsc_tpu.models import overlap_save_convolve
+
+    taps = firwin(33, 0.25)
+    sig = _sig(2048, seed=7)
+    got = overlap_save_convolve(dsc.from_numpy(sig), taps).numpy()
+    ref = np.convolve(sig, taps.numpy())
+    assert np.abs(got - ref).max() < 1e-4 * max(np.abs(ref).max(), 1.0)
