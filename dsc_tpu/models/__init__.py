@@ -11,7 +11,7 @@ set.
 from .filter_fft import FilterFFT, fft_convolve
 from .fir import firwin
 from .ola import OverlapSave, overlap_save_convolve
-from .psd import periodogram, welch
+from .psd import coherence, csd, periodogram, welch
 from .spectral import hilbert, resample
 from .stft import ISTFT, STFT, spectrogram
 
@@ -27,5 +27,7 @@ __all__ = [
     'hilbert',
     'welch',
     'periodogram',
+    'csd',
+    'coherence',
     'firwin',
 ]

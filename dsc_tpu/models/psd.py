@@ -55,6 +55,21 @@ def _median_bias(n: int) -> float:
     return float(1.0 + np.sum(1.0 / (ii_2 + 1.0) - 1.0 / ii_2))
 
 
+def _detrend_segs(segs, nperseg: int, detrend: str):
+    """Per-segment detrend: 'constant' subtracts the mean, 'linear' a
+    closed-form least-squares line fit over k=0..nperseg-1."""
+    if detrend == 'constant':
+        return segs - jnp.mean(segs, axis=-1, keepdims=True)
+    if detrend == 'linear':
+        k = jnp.arange(nperseg, dtype=segs.dtype)
+        kc = k - (nperseg - 1) / 2.0
+        denom = jnp.sum(kc * kc)
+        slope = jnp.sum(segs * kc, axis=-1, keepdims=True) / denom
+        mean = jnp.mean(segs, axis=-1, keepdims=True)
+        return segs - (mean + slope * kc)
+    return segs
+
+
 @partial(
     jax.jit,
     static_argnames=('nperseg', 'hop', 'n_frames', 'spec', 'detrend',
@@ -64,16 +79,7 @@ def _welch_program(x, window, tables, scale, bias, nperseg, hop, n_frames,
                    spec, detrend, average):
     """(b, n) real -> (b, nperseg//2+1) PSD. One XLA program."""
     segs = _frame_dense(x, nperseg, hop, n_frames)  # (b, n_frames, nperseg)
-    if detrend == 'constant':
-        segs = segs - jnp.mean(segs, axis=-1, keepdims=True)
-    elif detrend == 'linear':
-        # closed-form least-squares line fit per segment over k=0..m-1
-        k = jnp.arange(nperseg, dtype=segs.dtype)
-        kc = k - (nperseg - 1) / 2.0
-        denom = jnp.sum(kc * kc)
-        slope = jnp.sum(segs * kc, axis=-1, keepdims=True) / denom
-        mean = jnp.mean(segs, axis=-1, keepdims=True)
-        segs = segs - (mean + slope * kc)
+    segs = _detrend_segs(segs, nperseg, detrend)
     fx = (segs * window[None, None, :]).reshape(-1, nperseg)
     z = fft_core.rfft_batched(fx, spec, tables, nperseg)
     power = (jnp.real(z) ** 2 + jnp.imag(z) ** 2).reshape(
@@ -86,6 +92,77 @@ def _welch_program(x, window, tables, scale, bias, nperseg, hop, n_frames,
     # one-sided doubling: every bin but DC and Nyquist carries its mirror
     pxx = pxx * scale
     return pxx.at[:, 1:-1].mul(2.0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=('nperseg', 'hop', 'n_frames', 'spec', 'detrend',
+                     'mode'),
+)
+def _csd_program(x, y, window, tables, scale, nperseg, hop, n_frames, spec,
+                 detrend, mode='csd'):
+    """(b, n) real pairs -> (re, im) planes of the (b, nperseg//2+1)
+    cross-spectral density mean(conj(X)*Y) (``mode='csd'``), or the real
+    magnitude-squared coherence |Pxy|^2/(Pxx*Pyy) (``mode='coherence'``).
+    One XLA program; both signals' segments ride the batched FFT engine
+    together as one 2*b*n_frames-row pass."""
+    segs = _frame_dense(jnp.concatenate([x, y], axis=0), nperseg, hop,
+                        n_frames)
+    segs = _detrend_segs(segs, nperseg, detrend)
+    fx = (segs * window[None, None, :]).reshape(-1, nperseg)
+    z = fft_core.rfft_batched(fx, spec, tables, nperseg)
+    b = x.shape[0]
+    zx = z[: b * n_frames].reshape(b, n_frames, -1)
+    zy = z[b * n_frames :].reshape(b, n_frames, -1)
+    # conj(X)*Y on real planes
+    re = jnp.mean(
+        jnp.real(zx) * jnp.real(zy) + jnp.imag(zx) * jnp.imag(zy), axis=1
+    )
+    im = jnp.mean(
+        jnp.real(zx) * jnp.imag(zy) - jnp.imag(zx) * jnp.real(zy), axis=1
+    )
+    if mode == 'coherence':
+        # the scale and one-sided doubling cancel in the ratio
+        pxx = jnp.mean(jnp.real(zx) ** 2 + jnp.imag(zx) ** 2, axis=1)
+        pyy = jnp.mean(jnp.real(zy) ** 2 + jnp.imag(zy) ** 2, axis=1)
+        return (re * re + im * im) / (pxx * pyy)
+    re = re * scale
+    im = im * scale
+    return re.at[:, 1:-1].mul(2.0), im.at[:, 1:-1].mul(2.0)
+
+
+def _psd_args(x, who, nperseg, noverlap, scaling, detrend):
+    if x.n_dim > 2:
+        raise RuntimeError(f'{who}: expected a 1-D or 2-D signal, got {x.n_dim}-D')
+    if x.dtype.is_complex:
+        raise RuntimeError(f'{who} expects a real signal')
+    if nperseg < 2 or nperseg & (nperseg - 1):
+        raise RuntimeError(
+            f'{who}: nperseg ({nperseg}) is not a power of two (the dsc '
+            'FFT family is power-of-two)'
+        )
+    n = x.shape[-1]
+    if n < nperseg:
+        raise RuntimeError(f'{who}: signal ({n}) shorter than nperseg ({nperseg})')
+    if noverlap is None:
+        noverlap = nperseg // 2
+    if not 0 <= noverlap < nperseg:
+        raise RuntimeError(f'{who}: noverlap ({noverlap}) must be in [0, nperseg)')
+    if scaling not in ('density', 'spectrum'):
+        raise RuntimeError(f'{who}: unknown scaling {scaling!r}')
+    if detrend in (False, None):
+        detrend = 'none'
+    if detrend not in ('constant', 'linear', 'none'):
+        raise RuntimeError(f'{who}: unknown detrend {detrend!r}')
+    hop = nperseg - noverlap
+    return n, hop, 1 + (n - nperseg) // hop, detrend
+
+
+def _psd_scale(win: np.ndarray, fs: float, scaling: str) -> float:
+    w64 = win.astype(np.float64)
+    if scaling == 'density':
+        return 1.0 / (fs * float(np.sum(w64 * w64)))
+    return 1.0 / float(np.sum(w64)) ** 2
 
 
 def welch(
@@ -103,38 +180,13 @@ def welch(
     power of two. Returns ``(f, Pxx)`` Tensors: f is (nperseg//2+1,)
     sample frequencies, Pxx is (nperseg//2+1,) (or batched) in units of
     V**2/Hz (``scaling='density'``) or V**2 (``'spectrum'``)."""
-    if x.n_dim > 2:
-        raise RuntimeError(f'welch: expected a 1-D or 2-D signal, got {x.n_dim}-D')
-    if x.dtype.is_complex:
-        raise RuntimeError('welch expects a real signal')
-    if nperseg < 2 or nperseg & (nperseg - 1):
-        raise RuntimeError(
-            f'welch: nperseg ({nperseg}) is not a power of two (the dsc '
-            'FFT family is power-of-two)'
-        )
-    n = x.shape[-1]
-    if n < nperseg:
-        raise RuntimeError(f'welch: signal ({n}) shorter than nperseg ({nperseg})')
-    if noverlap is None:
-        noverlap = nperseg // 2
-    if not 0 <= noverlap < nperseg:
-        raise RuntimeError(f'welch: noverlap ({noverlap}) must be in [0, nperseg)')
-    if scaling not in ('density', 'spectrum'):
-        raise RuntimeError(f'welch: unknown scaling {scaling!r}')
     if average not in ('mean', 'median'):
         raise RuntimeError(f'welch: unknown average {average!r}')
-    if detrend in (False, None):
-        detrend = 'none'
-    if detrend not in ('constant', 'linear', 'none'):
-        raise RuntimeError(f'welch: unknown detrend {detrend!r}')
-    hop = nperseg - noverlap
-    n_frames = 1 + (n - nperseg) // hop
+    n, hop, n_frames, detrend = _psd_args(
+        x, 'welch', nperseg, noverlap, scaling, detrend
+    )
     win = _spectral_window(window, nperseg)
-    w64 = win.astype(np.float64)
-    if scaling == 'density':
-        scale = 1.0 / (fs * float(np.sum(w64 * w64)))
-    else:
-        scale = 1.0 / float(np.sum(w64)) ** 2
+    scale = _psd_scale(win, fs, scaling)
     bias = _median_bias(n_frames) if average == 'median' else 1.0
     batched = x.n_dim == 2
     spec, tables = fft_plan.get_plan(nperseg, 'real', np.complex64)
@@ -153,6 +205,87 @@ def welch(
 
     f = _fourier.rfftfreq(nperseg, d=1.0 / fs)
     return f, Tensor._from_jax(pxx if batched else pxx[0])
+
+
+def _csd_common(x, y, who, fs, window, nperseg, noverlap, detrend, scaling,
+                mode):
+    if x.shape != y.shape:
+        raise RuntimeError(
+            f'{who}: x and y must have the same shape, got {x.shape} vs '
+            f'{y.shape}'
+        )
+    if y.dtype.is_complex:
+        raise RuntimeError(f'{who} expects real signals')
+    _, hop, n_frames, detrend = _psd_args(
+        x, who, nperseg, noverlap, scaling, detrend
+    )
+    win = _spectral_window(window, nperseg)
+    scale = _psd_scale(win, fs, scaling)
+    batched = x.n_dim == 2
+    spec, tables = fft_plan.get_plan(nperseg, 'real', np.complex64)
+    xj = x.jax if batched else x.jax[None, :]
+    yj = y.jax if batched else y.jax[None, :]
+    with tracing.trace_op(
+        who, 'op;pipeline', tracing.tensor_args(x=x, y=y)
+    ) as tr:
+        out = _csd_program(
+            xj.astype(jnp.float32), yj.astype(jnp.float32),
+            jnp.asarray(win), tables, np.float32(scale), nperseg, hop,
+            n_frames, spec, detrend, mode=mode,
+        )
+        if tr:
+            tr.result = out[0] if mode == 'csd' else out
+    return out, batched
+
+
+def csd(
+    x: Tensor,
+    y: Tensor,
+    fs: float = 1.0,
+    window='hann',
+    nperseg: int = 256,
+    noverlap: Optional[int] = None,
+    detrend='constant',
+    scaling: str = 'density',
+) -> tuple:
+    """Cross-spectral density Pxy = mean(conj(X)*Y) over Welch segments
+    (scipy.signal.csd semantics, one-sided). x, y: same-shape (n,) or
+    (batch, n) real signals; returns ``(f, Pxy)`` with Pxy a c32 Tensor
+    stored planar (welch(x) == csd(x, x).real)."""
+    from ..planar import Planar
+
+    (re, im), batched = _csd_common(
+        x, y, 'csd', fs, window, nperseg, noverlap, detrend, scaling, 'csd'
+    )
+    from .. import fourier as _fourier
+
+    f = _fourier.rfftfreq(nperseg, d=1.0 / fs)
+    if not batched:
+        re, im = re[0], im[0]
+    return f, Tensor._from_planar(Planar(re, im, tuple(re.shape)))
+
+
+def coherence(
+    x: Tensor,
+    y: Tensor,
+    fs: float = 1.0,
+    window='hann',
+    nperseg: int = 256,
+    noverlap: Optional[int] = None,
+    detrend='constant',
+) -> tuple:
+    """Magnitude-squared coherence Cxy = |Pxy|^2 / (Pxx*Pyy)
+    (scipy.signal.coherence semantics), computed in ONE program — the
+    scale and one-sided doubling cancel in the ratio. Returns (f, Cxy)
+    real Tensors."""
+    cxy, batched = _csd_common(
+        x, y, 'coherence', fs, window, nperseg, noverlap, detrend,
+        'density', 'coherence',
+    )
+    from .. import fourier as _fourier
+
+    f = _fourier.rfftfreq(nperseg, d=1.0 / fs)
+    return f, Tensor._from_jax(cxy if batched else cxy[0])
 
 
 def periodogram(

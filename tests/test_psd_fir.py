@@ -10,7 +10,7 @@ import pytest
 import scipy.signal as sps
 
 import dsc_tpu as dsc
-from dsc_tpu.models import firwin, periodogram, welch
+from dsc_tpu.models import coherence, csd, firwin, periodogram, welch
 
 
 def _sig(n, seed=0):
@@ -103,6 +103,61 @@ def test_periodogram_windowed():
     _, pxx = periodogram(dsc.from_numpy(x), window='hann')
     _, p_ref = sps.periodogram(x, window='hann')
     _close(pxx.numpy(), p_ref)
+
+
+# ----------------------------------------------------------- csd / coherence
+
+def _pair(n, seed=0):
+    rng = np.random.default_rng(seed)
+    x = _sig(n, seed)
+    # y = delayed, filtered x + noise so Pxy and Cxy are nontrivial
+    y = (np.roll(x, 7) * 0.8 + 0.2 * rng.standard_normal(n)).astype(np.float32)
+    return x, y
+
+
+def test_csd_matches_scipy():
+    x, y = _pair(8192)
+    f, pxy = csd(dsc.from_numpy(x), dsc.from_numpy(y), fs=500.0, nperseg=512)
+    f_ref, p_ref = sps.csd(x, y, fs=500.0, nperseg=512)
+    assert np.allclose(f.numpy(), f_ref)
+    got = pxy.numpy()
+    scale = np.abs(p_ref).max()
+    assert np.abs(got - p_ref).max() < 2e-4 * scale
+
+
+def test_csd_of_self_is_welch():
+    x = _sig(4096, seed=8)
+    _, pxx = welch(dsc.from_numpy(x), nperseg=256)
+    _, pself = csd(dsc.from_numpy(x), dsc.from_numpy(x), nperseg=256)
+    pz = pself.numpy()
+    assert np.abs(pz.real - pxx.numpy()).max() < 1e-6 * pxx.numpy().max()
+    assert np.abs(pz.imag).max() < 1e-6 * pxx.numpy().max()
+
+
+def test_csd_batched():
+    xs = np.stack([_pair(4096, s)[0] for s in range(2)])
+    ys = np.stack([_pair(4096, s)[1] for s in range(2)])
+    _, pxy = csd(dsc.from_numpy(xs), dsc.from_numpy(ys), nperseg=256)
+    _, p_ref = sps.csd(xs, ys, nperseg=256, axis=-1)
+    assert pxy.shape == p_ref.shape
+    assert np.abs(pxy.numpy() - p_ref).max() < 2e-4 * np.abs(p_ref).max()
+
+
+def test_coherence_matches_scipy():
+    x, y = _pair(16384, seed=9)
+    f, cxy = coherence(dsc.from_numpy(x), dsc.from_numpy(y), nperseg=512)
+    f_ref, c_ref = sps.coherence(x, y, nperseg=512)
+    assert np.allclose(f.numpy(), f_ref)
+    got = cxy.numpy()
+    assert np.abs(got - c_ref).max() < 5e-4
+    assert got.min() >= 0.0 and got.max() <= 1.0 + 1e-6
+
+
+def test_csd_rejects_shape_mismatch():
+    x = dsc.from_numpy(_sig(1024))
+    y = dsc.from_numpy(_sig(2048))
+    with pytest.raises(RuntimeError):
+        csd(x, y, nperseg=256)
 
 
 # --------------------------------------------------------------- firwin
