@@ -334,6 +334,16 @@ def main() -> int:
     ok &= check('firwin lowpass taps (device sinc/window ops)',
                 np.abs(tapw.numpy() - sps.firwin(65, 0.3)).max(), 1e-5)
 
+    # IIR: butter design + associative-scan sosfilt on-chip
+    from dsc_tpu.models import butter, sosfilt
+
+    sosd = butter(4, 0.25, 'low')
+    xi = rng.standard_normal(2**16).astype(np.float32)
+    yi = sosfilt(sosd, dsc.from_numpy(xi)).numpy()
+    ri = sps.sosfilt(sosd, xi.astype(np.float64))
+    ok &= check('sosfilt 2^16 (assoc-scan IIR, butter(4,0.25))',
+                np.abs(yi - ri).max() / np.abs(ri).max(), 1e-3)
+
     # dsc.map: fused elementwise chain in one streaming pass
     nm = 2**23
     xm = rng.standard_normal(nm).astype(np.float32)

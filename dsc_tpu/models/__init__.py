@@ -10,6 +10,7 @@ set.
 
 from .filter_fft import FilterFFT, fft_convolve
 from .fir import firwin
+from .iir import butter, lfilter, sosfilt
 from .ola import OverlapSave, overlap_save_convolve
 from .psd import coherence, csd, periodogram, welch
 from .spectral import hilbert, resample
@@ -30,4 +31,7 @@ __all__ = [
     'csd',
     'coherence',
     'firwin',
+    'butter',
+    'lfilter',
+    'sosfilt',
 ]

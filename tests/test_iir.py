@@ -1,0 +1,183 @@
+"""IIR filtering (lfilter/sosfilt via associative scan) and Butterworth
+design vs scipy.signal.
+
+Design parity is pinned on BEHAVIOR (transfer function), which is
+invariant to section-pairing choices; filter parity against scipy's f64
+sequential implementation at f32 tolerances.
+"""
+
+import numpy as np
+import pytest
+import scipy.signal as sps
+
+import dsc_tpu as dsc
+from dsc_tpu.models import butter, lfilter, sosfilt
+
+
+def _resp(sos, w):
+    z = np.exp(-1j * w)
+    h = np.ones_like(z, dtype=complex)
+    for b0, b1, b2, a0, a1, a2 in np.atleast_2d(sos):
+        h *= (b0 + b1 * z + b2 * z**2) / (a0 + a1 * z + a2 * z**2)
+    return h
+
+
+def _sig(n, seed=0):
+    return np.random.default_rng(seed).standard_normal(n).astype(np.float32)
+
+
+# --------------------------------------------------------------- butter
+
+@pytest.mark.parametrize(
+    'order,wn,btype',
+    [
+        (4, 0.3, 'low'), (5, 0.3, 'low'), (1, 0.5, 'low'), (8, 0.6, 'low'),
+        (4, 0.2, 'high'), (5, 0.35, 'high'), (1, 0.5, 'high'),
+        (3, [0.2, 0.5], 'bandpass'), (2, [0.05, 0.9], 'bandpass'),
+        (4, [0.25, 0.45], 'bandstop'), (3, [0.3, 0.6], 'bandstop'),
+    ],
+)
+def test_butter_transfer_function_matches_scipy(order, wn, btype):
+    w = np.linspace(1e-3, np.pi - 1e-3, 513)
+    got = _resp(butter(order, wn, btype), w)
+    ref = _resp(sps.butter(order, wn, btype, output='sos'), w)
+    assert np.abs(got - ref).max() < 1e-10
+
+
+def test_butter_fs_units():
+    w = np.linspace(1e-3, np.pi - 1e-3, 257)
+    got = _resp(butter(4, 100.0, 'low', fs=1000.0), w)
+    ref = _resp(sps.butter(4, 100.0, 'low', fs=1000.0, output='sos'), w)
+    assert np.abs(got - ref).max() < 1e-10
+
+
+def test_butter_rejects_bad_args():
+    with pytest.raises(RuntimeError):
+        butter(0, 0.5)
+    with pytest.raises(RuntimeError):
+        butter(4, 1.5)
+    with pytest.raises(RuntimeError):
+        butter(4, 0.5, 'nope')
+    with pytest.raises(RuntimeError):
+        butter(4, [0.2, 0.5], 'low')
+    with pytest.raises(RuntimeError):
+        butter(4, 0.5, 'bandpass')
+
+
+# -------------------------------------------------------------- sosfilt
+
+@pytest.mark.parametrize('method', ['parallel', 'sequential'])
+def test_sosfilt_matches_scipy(method):
+    x = _sig(4096)
+    sos = butter(4, 0.25, 'low')
+    got = sosfilt(sos, dsc.from_numpy(x), method=method).numpy()
+    ref = sps.sosfilt(sos, x.astype(np.float64))
+    assert np.abs(got - ref).max() < 1e-4 * np.abs(ref).max()
+
+
+def test_sosfilt_parallel_equals_sequential():
+    x = _sig(2048, seed=1)
+    sos = butter(6, [0.2, 0.6], 'bandpass')
+    yp = sosfilt(sos, dsc.from_numpy(x), method='parallel').numpy()
+    ys = sosfilt(sos, dsc.from_numpy(x), method='sequential').numpy()
+    assert np.abs(yp - ys).max() < 1e-4 * max(np.abs(ys).max(), 1e-6)
+
+
+def test_sosfilt_batched_matches_rowwise():
+    xs = np.stack([_sig(1024, seed=s) for s in range(3)])
+    sos = butter(3, 0.4, 'high')
+    got = sosfilt(sos, dsc.from_numpy(xs)).numpy()
+    for i in range(3):
+        ref = sps.sosfilt(sos, xs[i].astype(np.float64))
+        assert np.abs(got[i] - ref).max() < 1e-4 * np.abs(ref).max()
+
+
+def test_sosfilt_streaming_state():
+    # filtering in two halves with carried zi == one-shot
+    x = _sig(2048, seed=2)
+    sos = butter(4, 0.3, 'low')
+    y1, zf = sosfilt(sos, dsc.from_numpy(x[:1024]),
+                     zi=np.zeros((sos.shape[0], 2)))
+    y2, _ = sosfilt(sos, dsc.from_numpy(x[1024:]), zi=zf.numpy())
+    ycat = np.concatenate([y1.numpy(), y2.numpy()])
+    yone = sosfilt(sos, dsc.from_numpy(x)).numpy()
+    assert np.abs(ycat - yone).max() < 1e-5
+
+
+def test_sosfilt_zi_matches_scipy():
+    x = _sig(1024, seed=3)
+    sos = butter(2, 0.2, 'low')
+    zi = np.random.default_rng(4).standard_normal((sos.shape[0], 2))
+    got, gzf = sosfilt(sos, dsc.from_numpy(x), zi=zi.astype(np.float32))
+    ref, rzf = sps.sosfilt(sos, x.astype(np.float64), zi=zi)
+    assert np.abs(got.numpy() - ref).max() < 1e-4 * np.abs(ref).max()
+    assert np.abs(gzf.numpy() - rzf).max() < 1e-3 * max(np.abs(rzf).max(), 1.0)
+
+
+def test_sosfilt_rejects_bad_args():
+    x = dsc.from_numpy(_sig(128))
+    with pytest.raises(RuntimeError):
+        sosfilt(np.zeros((2, 5)), x)  # not 6 columns
+    bad = np.array([[1.0, 0, 0, 0.0, 0, 0]])  # a0 == 0
+    with pytest.raises(RuntimeError):
+        sosfilt(bad, x)
+    with pytest.raises(RuntimeError):
+        sosfilt(butter(2, 0.5), x, method='nope')
+
+
+# -------------------------------------------------------------- lfilter
+
+@pytest.mark.parametrize('method', ['parallel', 'sequential'])
+def test_lfilter_matches_scipy(method):
+    x = _sig(4096, seed=5)
+    b, a = sps.butter(3, 0.3)
+    got = lfilter(b, a, dsc.from_numpy(x), method=method).numpy()
+    ref = sps.lfilter(b, a, x.astype(np.float64))
+    assert np.abs(got - ref).max() < 1e-4 * np.abs(ref).max()
+
+
+def test_lfilter_fir_taps():
+    # pure-FIR denominator (a = [1]) also runs
+    x = _sig(512, seed=6)
+    b = sps.firwin(9, 0.4)
+    got = lfilter(b, [1.0], dsc.from_numpy(x)).numpy()
+    ref = sps.lfilter(b, [1.0], x.astype(np.float64))
+    assert np.abs(got - ref).max() < 1e-5 * max(np.abs(ref).max(), 1.0)
+
+
+def test_lfilter_higher_order_state():
+    # m = 5 exercises the generic companion matrix, not just biquads
+    x = _sig(1024, seed=7)
+    b, a = sps.butter(5, 0.25)
+    got = lfilter(b, a, dsc.from_numpy(x)).numpy()
+    ref = sps.lfilter(b, a, x.astype(np.float64))
+    assert np.abs(got - ref).max() < 2e-4 * np.abs(ref).max()
+
+
+def test_lfilter_zi_streaming():
+    x = _sig(1024, seed=8)
+    b, a = sps.butter(2, 0.35)
+    y1, zf = lfilter(b, a, dsc.from_numpy(x[:512]), zi=np.zeros(2))
+    y2, _ = lfilter(b, a, dsc.from_numpy(x[512:]), zi=zf.numpy())
+    yone = lfilter(b, a, dsc.from_numpy(x)).numpy()
+    assert np.abs(np.concatenate([y1.numpy(), y2.numpy()]) - yone).max() < 1e-5
+
+
+def test_designed_filter_attenuates_stopband():
+    # end-to-end sanity in the spectrum (the passband tone is phase-
+    # delayed, so pointwise comparison is wrong even for scipy): the
+    # 0.8*Nyquist tone through a 0.25 lowpass loses >60 dB, the 0.05
+    # tone keeps its magnitude
+    n = 4096
+    t = np.arange(n)
+    lo = np.sin(0.05 * np.pi * t).astype(np.float32)
+    hi = np.sin(0.80 * np.pi * t).astype(np.float32)
+    sos = butter(6, 0.25, 'low')
+
+    def steady_rms(sig):
+        y = sosfilt(sos, dsc.from_numpy(sig)).numpy()[512:]
+        return float(np.sqrt(np.mean(y * y)))
+
+    rms_in = float(np.sqrt(np.mean(lo[512:] ** 2)))
+    assert abs(steady_rms(lo) - rms_in) < 0.01 * rms_in  # passband intact
+    assert steady_rms(hi) < 1e-3 * rms_in  # stopband > 60 dB down
