@@ -10,7 +10,7 @@ set.
 
 from .filter_fft import FilterFFT, fft_convolve
 from .fir import firwin
-from .iir import butter, lfilter, sosfilt
+from .iir import butter, freqz, lfilter, sosfilt, sosfiltfilt, sosfreqz
 from .ola import OverlapSave, overlap_save_convolve
 from .psd import coherence, csd, periodogram, welch
 from .spectral import hilbert, resample
@@ -34,4 +34,7 @@ __all__ = [
     'butter',
     'lfilter',
     'sosfilt',
+    'sosfiltfilt',
+    'sosfreqz',
+    'freqz',
 ]

@@ -196,6 +196,105 @@ def sosfilt(sos, x: Tensor, zi=None, method: str = 'parallel'):
     return yt
 
 
+def _sos_zi_unit(sos: np.ndarray) -> np.ndarray:
+    """Per-section steady-state for a UNIT step input (scipy's
+    sosfilt_zi): s* = (I - A)^-1 c, scaled by the cumulative DC gain of
+    the preceding sections."""
+    ns = sos.shape[0]
+    zi = np.zeros((ns, 2), np.float64)
+    gain = 1.0
+    for s in range(ns):
+        A, c = _tdf2_matrices(sos[s, :3], sos[s, 3:])
+        zi[s] = np.linalg.solve(np.eye(2) - A, c) * gain
+        gain *= np.sum(sos[s, :3]) / np.sum(sos[s, 3:])
+    return zi
+
+
+def sosfiltfilt(sos, x: Tensor, padlen: Optional[int] = None,
+                method: str = 'parallel') -> Tensor:
+    """Zero-phase forward-backward filtering
+    (scipy.signal.sosfiltfilt semantics: odd-extension padding,
+    steady-state initial conditions scaled by the edge samples).
+    x: (n,) or (batch, n) real. The whole forward+backward pass runs as
+    one jitted program."""
+    sos = _check_sos(sos)
+    ns = sos.shape[0]
+    if padlen is None:
+        n_fir = int(np.sum(sos[:, 2] == 0.0))
+        n_iir = int(np.sum(sos[:, 5] == 0.0))
+        padlen = 3 * (2 * ns + 1 - min(n_fir, n_iir))
+    xj, batched = _as_batched(x, 'sosfiltfilt')
+    if padlen >= xj.shape[1]:
+        raise RuntimeError(
+            f'sosfiltfilt: signal length ({xj.shape[1]}) must exceed '
+            f'padlen ({padlen})'
+        )
+    zi_unit = _sos_zi_unit(sos)
+    As = np.stack([_tdf2_matrices(sos[s, :3], sos[s, 3:])[0]
+                   for s in range(ns)]).astype(np.float32)
+    cs = np.stack([_tdf2_matrices(sos[s, :3], sos[s, 3:])[1]
+                   for s in range(ns)]).astype(np.float32)
+    b0s = sos[:, 0].astype(np.float32)
+    with tracing.trace_op(
+        'sosfiltfilt', 'op;pipeline', tracing.tensor_args(x=x)
+    ) as tr:
+        out = _sosfiltfilt_program(
+            xj, jnp.asarray(As), jnp.asarray(cs), jnp.asarray(b0s),
+            jnp.asarray(zi_unit, jnp.float32), int(padlen), method,
+        )
+        if tr:
+            tr.result = out
+    return Tensor._from_jax(out if batched else out[0])
+
+
+@partial(jax.jit, static_argnames=('pl', 'method'))
+def _sosfiltfilt_program(xb, As, cs, b0s, zi_unit, pl, method):
+    """Odd-extend -> forward cascade -> reverse -> backward cascade ->
+    reverse -> crop, as ONE program. Every section's initial state is
+    the unit-step steady state scaled by the extension's edge sample
+    (scipy's x0 * sosfilt_zi(sos))."""
+    ns = As.shape[0]
+
+    def cascade(sig):
+        edge = sig[:, 0]
+        for s in range(ns):
+            z0 = edge[:, None] * zi_unit[s][None, :]
+            sig, _ = _affine_filter(sig, As[s], cs[s], b0s[s], z0,
+                                    method=method)
+        return sig
+
+    head = 2.0 * xb[:, :1] - xb[:, pl:0:-1]
+    tail = 2.0 * xb[:, -1:] - xb[:, -2 : -pl - 2 : -1]
+    ext = jnp.concatenate([head, xb, tail], axis=1)
+    y = cascade(ext)[:, ::-1]
+    y = cascade(y)[:, ::-1]
+    return y[:, pl : pl + xb.shape[1]]
+
+
+def sosfreqz(sos, worN: int = 512, fs: float = 2.0 * np.pi):
+    """Frequency response of a second-order-section cascade
+    (scipy.signal.sosfreqz semantics): returns ``(w, h)`` numpy arrays
+    over ``worN`` points on [0, fs/2). Design-time helper, host f64."""
+    sos = _check_sos(sos)
+    w = np.arange(int(worN)) * (fs / 2.0) / int(worN)
+    zinv = np.exp(-1j * (2.0 * np.pi * w / fs))
+    h = np.ones_like(zinv)
+    for b0, b1, b2, _, a1, a2 in sos:
+        h *= (b0 + b1 * zinv + b2 * zinv**2) / (1.0 + a1 * zinv + a2 * zinv**2)
+    return w, h
+
+
+def freqz(b, a=1.0, worN: int = 512, fs: float = 2.0 * np.pi):
+    """Frequency response of a rational filter (scipy.signal.freqz
+    semantics): returns ``(w, h)`` over ``worN`` points on [0, fs/2)."""
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    w = np.arange(int(worN)) * (fs / 2.0) / int(worN)
+    zinv = np.exp(-1j * (2.0 * np.pi * w / fs))
+    h = np.polyval(b[::-1], zinv) / np.polyval(a[::-1], zinv)
+    return w, h
+
+
 # --------------------------------------------------------------------------
 # host half: Butterworth design (from-scratch zpk pipeline, f64)
 # --------------------------------------------------------------------------

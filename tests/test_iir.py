@@ -11,7 +11,14 @@ import pytest
 import scipy.signal as sps
 
 import dsc_tpu as dsc
-from dsc_tpu.models import butter, lfilter, sosfilt
+from dsc_tpu.models import (
+    butter,
+    freqz,
+    lfilter,
+    sosfilt,
+    sosfiltfilt,
+    sosfreqz,
+)
 
 
 def _resp(sos, w):
@@ -161,6 +168,55 @@ def test_lfilter_zi_streaming():
     y2, _ = lfilter(b, a, dsc.from_numpy(x[512:]), zi=zf.numpy())
     yone = lfilter(b, a, dsc.from_numpy(x)).numpy()
     assert np.abs(np.concatenate([y1.numpy(), y2.numpy()]) - yone).max() < 1e-5
+
+
+# ---------------------------------------------------- sosfiltfilt / freqz
+
+def test_sosfiltfilt_matches_scipy():
+    x = _sig(2048, seed=10)
+    sos = butter(4, 0.3, 'low')
+    got = sosfiltfilt(sos, dsc.from_numpy(x)).numpy()
+    ref = sps.sosfiltfilt(sos, x.astype(np.float64))
+    assert np.abs(got - ref).max() < 2e-4 * np.abs(ref).max()
+
+
+def test_sosfiltfilt_batched_and_padlen():
+    xs = np.stack([_sig(1024, seed=s) for s in range(2)])
+    sos = butter(3, [0.2, 0.5], 'bandpass')
+    got = sosfiltfilt(sos, dsc.from_numpy(xs), padlen=100).numpy()
+    ref = sps.sosfiltfilt(sos, xs.astype(np.float64), padlen=100, axis=-1)
+    assert np.abs(got - ref).max() < 5e-4 * np.abs(ref).max()
+
+
+def test_sosfiltfilt_zero_phase():
+    # a passband tone comes back UNSHIFTED (the whole point)
+    t = np.arange(4096)
+    lo = np.sin(0.05 * np.pi * t).astype(np.float32)
+    sos = butter(6, 0.25, 'low')
+    y = sosfiltfilt(sos, dsc.from_numpy(lo)).numpy()
+    assert np.abs(y[512:-512] - lo[512:-512]).max() < 5e-3
+
+
+def test_sosfiltfilt_rejects_short_signal():
+    sos = butter(4, 0.3)
+    with pytest.raises(RuntimeError):
+        sosfiltfilt(sos, dsc.from_numpy(_sig(8)))
+
+
+def test_sosfreqz_matches_scipy():
+    sos = butter(5, [0.2, 0.6], 'bandpass')
+    w, h = sosfreqz(sos, worN=256)
+    w_ref, h_ref = sps.sosfreqz(sos, worN=256)
+    assert np.allclose(w, w_ref)
+    assert np.abs(h - h_ref).max() < 1e-12
+
+
+def test_freqz_matches_scipy():
+    b, a = sps.butter(4, 0.35)
+    w, h = freqz(b, a, worN=128, fs=48000.0)
+    w_ref, h_ref = sps.freqz(b, a, worN=128, fs=48000.0)
+    assert np.allclose(w, w_ref)
+    assert np.abs(h - h_ref).max() < 1e-12
 
 
 def test_designed_filter_attenuates_stopband():
