@@ -10,7 +10,17 @@ set.
 
 from .filter_fft import FilterFFT, fft_convolve
 from .fir import firwin
-from .iir import butter, freqz, lfilter, sosfilt, sosfiltfilt, sosfreqz
+from .iir import (
+    butter,
+    cheby1,
+    cheby2,
+    decimate,
+    freqz,
+    lfilter,
+    sosfilt,
+    sosfiltfilt,
+    sosfreqz,
+)
 from .ola import OverlapSave, overlap_save_convolve
 from .psd import coherence, csd, periodogram, welch
 from .spectral import hilbert, resample
@@ -32,6 +42,9 @@ __all__ = [
     'coherence',
     'firwin',
     'butter',
+    'cheby1',
+    'cheby2',
+    'decimate',
     'lfilter',
     'sosfilt',
     'sosfiltfilt',

@@ -368,6 +368,79 @@ def _zpk2sos(z, p, k) -> np.ndarray:
     return sos
 
 
+# zpk frequency transforms (scipy.signal lp2*_zpk semantics, general in
+# the zeros so the Chebyshev-II prototype works too)
+
+def _lp2lp_zpk(z, p, k, wo):
+    return z * wo, p * wo, k * wo ** (len(p) - len(z))
+
+
+def _lp2hp_zpk(z, p, k, wo):
+    degree = len(p) - len(z)
+    zh = np.append(wo / z if len(z) else z, np.zeros(degree))
+    return zh, wo / p, k * np.real(np.prod(-z) / np.prod(-p))
+
+
+def _lp2bp_zpk(z, p, k, wo, bw):
+    degree = len(p) - len(z)
+    zlp, plp = z * (bw / 2.0), p * (bw / 2.0)
+    zbp = np.concatenate([zlp + np.sqrt(zlp**2 - wo**2 + 0j),
+                          zlp - np.sqrt(zlp**2 - wo**2 + 0j)])
+    pbp = np.concatenate([plp + np.sqrt(plp**2 - wo**2 + 0j),
+                          plp - np.sqrt(plp**2 - wo**2 + 0j)])
+    return np.append(zbp, np.zeros(degree)), pbp, k * bw**degree
+
+
+def _lp2bs_zpk(z, p, k, wo, bw):
+    degree = len(p) - len(z)
+    zhp = (bw / 2.0) / z if len(z) else z
+    php = (bw / 2.0) / p
+    zbs = np.concatenate([zhp + np.sqrt(zhp**2 - wo**2 + 0j),
+                          zhp - np.sqrt(zhp**2 - wo**2 + 0j)])
+    pbs = np.concatenate([php + np.sqrt(php**2 - wo**2 + 0j),
+                          php - np.sqrt(php**2 - wo**2 + 0j)])
+    zbs = np.append(zbs, 1j * wo * np.ones(degree))
+    zbs = np.append(zbs, -1j * wo * np.ones(degree))
+    return zbs, pbs, k * np.real(np.prod(-z) / np.prod(-p))
+
+
+def _iirdesign_sos(z, p, k, N, Wn, btype, fs, who: str) -> np.ndarray:
+    """Shared digital-design driver: normalize Wn, prewarp, apply the
+    band transform, bilinear-transform, pair into biquads."""
+    wn = np.atleast_1d(np.asarray(Wn, np.float64))
+    if fs is not None:
+        wn = wn / (fs / 2.0)
+    if np.any(wn <= 0) or np.any(wn >= 1):
+        raise RuntimeError(f'{who}: Wn must lie strictly inside (0, Nyquist)')
+    btype_in = btype
+    btype = {'low': 'low', 'lowpass': 'low', 'high': 'high',
+             'highpass': 'high', 'band': 'bandpass', 'bandpass': 'bandpass',
+             'stop': 'bandstop', 'bandstop': 'bandstop'}.get(btype)
+    if btype is None:
+        raise RuntimeError(f'{who}: unknown btype {btype_in!r}')
+    if btype in ('low', 'high') and wn.size != 1:
+        raise RuntimeError(f'{who}: low/high need a scalar Wn')
+    if btype in ('bandpass', 'bandstop') and wn.size != 2:
+        raise RuntimeError(f'{who}: bandpass/bandstop need Wn = [low, high]')
+    fs_d = 2.0  # internal digital rate for the bilinear transform
+    warped = 2.0 * fs_d * np.tan(np.pi * wn / fs_d)
+    if btype == 'low':
+        z, p, k = _lp2lp_zpk(z, p, k, warped[0])
+    elif btype == 'high':
+        z, p, k = _lp2hp_zpk(z, p, k, warped[0])
+    else:
+        bw, wo = warped[1] - warped[0], np.sqrt(warped[0] * warped[1])
+        tf = _lp2bp_zpk if btype == 'bandpass' else _lp2bs_zpk
+        z, p, k = tf(z, p, k, wo, bw)
+    zd, pd, kd = _bilinear_zpk(z, p, k, fs_d)
+    return _zpk2sos(zd, pd, kd)
+
+
+def _check_order(N: int, who: str) -> None:
+    if N < 1:
+        raise RuntimeError(f'{who}: order ({N}) must be >= 1')
+
+
 def butter(N: int, Wn, btype: str = 'low', fs: Optional[float] = None
            ) -> np.ndarray:
     """Butterworth digital filter design in second-order sections
@@ -376,52 +449,63 @@ def butter(N: int, Wn, btype: str = 'low', fs: Optional[float] = None
     the same units as ``fs``. ``btype``: 'low' | 'high' | 'bandpass' |
     'bandstop'. Returns an (n_sections, 6) float64 array ready for
     :func:`sosfilt`."""
-    if N < 1:
-        raise RuntimeError(f'butter: order ({N}) must be >= 1')
-    wn = np.atleast_1d(np.asarray(Wn, np.float64))
-    if fs is not None:
-        wn = wn / (fs / 2.0)
-    if np.any(wn <= 0) or np.any(wn >= 1):
-        raise RuntimeError('butter: Wn must lie strictly inside (0, Nyquist)')
-    btype_in = btype
-    btype = {'low': 'low', 'lowpass': 'low', 'high': 'high',
-             'highpass': 'high', 'band': 'bandpass', 'bandpass': 'bandpass',
-             'stop': 'bandstop', 'bandstop': 'bandstop'}.get(btype)
-    if btype is None:
-        raise RuntimeError(f'butter: unknown btype {btype_in!r}')
-    if btype in ('low', 'high') and wn.size != 1:
-        raise RuntimeError('butter: low/high need a scalar Wn')
-    if btype in ('bandpass', 'bandstop') and wn.size != 2:
-        raise RuntimeError('butter: bandpass/bandstop need Wn = [low, high]')
-
+    _check_order(N, 'butter')
     # analog Butterworth prototype: N poles on the unit circle, no zeros
     theta = np.pi * np.arange(-N + 1, N, 2) / (2.0 * N)
     p = -np.exp(1j * theta)
-    z = np.array([], complex)
-    k = 1.0
+    return _iirdesign_sos(np.array([], complex), p, 1.0, N, Wn, btype, fs,
+                          'butter')
 
-    fs_d = 2.0  # internal digital rate for the bilinear transform
-    warped = 2.0 * fs_d * np.tan(np.pi * wn / fs_d)
-    if btype == 'low':
-        p, k = p * warped[0], k * warped[0] ** N
-    elif btype == 'high':
-        # k *= real(prod(-z)/prod(-p)) with the PRE-transform z (empty), p
-        p, k = warped[0] / p, k * np.real(1.0 / np.prod(-p))
-        z = np.zeros(N, complex)
+
+def cheby1(N: int, rp: float, Wn, btype: str = 'low',
+           fs: Optional[float] = None) -> np.ndarray:
+    """Chebyshev type-I design (``rp`` dB passband ripple;
+    scipy.signal.cheby1(..., output='sos') semantics)."""
+    _check_order(N, 'cheby1')
+    if rp <= 0:
+        raise RuntimeError(f'cheby1: rp ({rp}) must be > 0 dB')
+    eps = np.sqrt(10.0 ** (0.1 * rp) - 1.0)
+    mu = np.arcsinh(1.0 / eps) / N
+    theta = np.pi * np.arange(-N + 1, N, 2) / (2.0 * N)
+    p = -np.sinh(mu + 1j * theta)
+    k = np.real(np.prod(-p))
+    if N % 2 == 0:
+        k /= np.sqrt(1.0 + eps * eps)
+    return _iirdesign_sos(np.array([], complex), p, k, N, Wn, btype, fs,
+                          'cheby1')
+
+
+def cheby2(N: int, rs: float, Wn, btype: str = 'low',
+           fs: Optional[float] = None) -> np.ndarray:
+    """Chebyshev type-II design (``rs`` dB stopband attenuation;
+    scipy.signal.cheby2(..., output='sos') semantics)."""
+    _check_order(N, 'cheby2')
+    if rs <= 0:
+        raise RuntimeError(f'cheby2: rs ({rs}) must be > 0 dB')
+    de = 1.0 / np.sqrt(10.0 ** (0.1 * rs) - 1.0)
+    mu = np.arcsinh(1.0 / de) / N
+    if N % 2:
+        m = np.concatenate([np.arange(-N + 1, 0, 2), np.arange(2, N, 2)])
     else:
-        bw, wo = warped[1] - warped[0], np.sqrt(warped[0] * warped[1])
-        if btype == 'bandpass':
-            plp = p * (bw / 2.0)
-            disc = np.sqrt(plp**2 - wo**2 + 0j)
-            p = np.concatenate([plp + disc, plp - disc])
-            z = np.zeros(N, complex)
-            k = k * bw**N
-        else:  # bandstop
-            plp = (bw / 2.0) / p
-            disc = np.sqrt(plp**2 - wo**2 + 0j)
-            p_old = p
-            p = np.concatenate([plp + disc, plp - disc])
-            z = np.concatenate([1j * wo * np.ones(N), -1j * wo * np.ones(N)])
-            k = k * np.real(1.0 / np.prod(-p_old))
-    zd, pd, kd = _bilinear_zpk(z, p, k, fs_d)
-    return _zpk2sos(zd, pd, kd)
+        m = np.arange(-N + 1, N, 2)
+    z = -np.conj(1j / np.sin(m * np.pi / (2.0 * N)))
+    p = -np.exp(1j * np.pi * np.arange(-N + 1, N, 2) / (2.0 * N))
+    p = np.sinh(mu) * p.real + 1j * np.cosh(mu) * p.imag
+    p = 1.0 / p
+    k = np.real(np.prod(-p) / np.prod(-z))
+    return _iirdesign_sos(z, p, k, N, Wn, btype, fs, 'cheby2')
+
+
+def decimate(x: Tensor, q: int, n: Optional[int] = None,
+             zero_phase: bool = True) -> Tensor:
+    """Downsample after an anti-aliasing Chebyshev-I lowpass
+    (scipy.signal.decimate IIR semantics: ``cheby1(n or 8, 0.05,
+    0.8/q)``, ``sosfiltfilt`` when ``zero_phase`` else ``sosfilt``, then
+    take every q-th sample)."""
+    if q < 1:
+        raise RuntimeError(f'decimate: q ({q}) must be >= 1')
+    if q == 1:
+        return x
+    sos = cheby1(8 if n is None else n, 0.05, 0.8 / q)
+    y = sosfiltfilt(sos, x) if zero_phase else sosfilt(sos, x)
+    return y[:, ::q] if y.n_dim == 2 else y[::q]

@@ -13,6 +13,9 @@ import scipy.signal as sps
 import dsc_tpu as dsc
 from dsc_tpu.models import (
     butter,
+    cheby1,
+    cheby2,
+    decimate,
     freqz,
     lfilter,
     sosfilt,
@@ -69,6 +72,61 @@ def test_butter_rejects_bad_args():
         butter(4, [0.2, 0.5], 'low')
     with pytest.raises(RuntimeError):
         butter(4, 0.5, 'bandpass')
+
+
+@pytest.mark.parametrize(
+    'order,rp,wn,btype',
+    [
+        (4, 1.0, 0.3, 'low'), (5, 0.5, 0.4, 'low'), (5, 1.0, 0.3, 'high'),
+        (3, 0.05, [0.2, 0.5], 'bandpass'), (2, 2.0, [0.3, 0.6], 'bandstop'),
+    ],
+)
+def test_cheby1_transfer_function_matches_scipy(order, rp, wn, btype):
+    w = np.linspace(1e-3, np.pi - 1e-3, 257)
+    got = _resp(cheby1(order, rp, wn, btype), w)
+    ref = _resp(sps.cheby1(order, rp, wn, btype, output='sos'), w)
+    assert np.abs(got - ref).max() < 1e-10
+
+
+@pytest.mark.parametrize(
+    'order,rs,wn,btype',
+    [
+        (4, 40.0, 0.3, 'low'), (5, 30.0, 0.4, 'low'),
+        (4, 40.0, 0.3, 'high'), (2, 25.0, [0.3, 0.7], 'bandpass'),
+        (3, 35.0, [0.25, 0.6], 'bandstop'),
+    ],
+)
+def test_cheby2_transfer_function_matches_scipy(order, rs, wn, btype):
+    w = np.linspace(1e-3, np.pi - 1e-3, 257)
+    got = _resp(cheby2(order, rs, wn, btype), w)
+    ref = _resp(sps.cheby2(order, rs, wn, btype, output='sos'), w)
+    assert np.abs(got - ref).max() < 1e-10
+
+
+def test_cheby_rejects_bad_ripple():
+    with pytest.raises(RuntimeError):
+        cheby1(4, 0.0, 0.3)
+    with pytest.raises(RuntimeError):
+        cheby2(4, -3.0, 0.3)
+
+
+def test_decimate_matches_scipy():
+    x = _sig(4096, seed=11)
+    for q in (2, 4):
+        got = decimate(dsc.from_numpy(x), q).numpy()
+        ref = sps.decimate(x.astype(np.float64), q)
+        assert got.shape == ref.shape
+        assert np.abs(got - ref).max() < 1e-3 * np.abs(ref).max()
+
+
+def test_decimate_batched_and_identity():
+    xs = np.stack([_sig(2048, seed=s) for s in range(2)])
+    got = decimate(dsc.from_numpy(xs), 2).numpy()
+    ref = sps.decimate(xs.astype(np.float64), 2, axis=-1)
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 1e-3 * np.abs(ref).max()
+    x1 = dsc.from_numpy(xs[0])
+    assert decimate(x1, 1) is x1
 
 
 # -------------------------------------------------------------- sosfilt
