@@ -228,6 +228,46 @@ def test_lfilter_zi_streaming():
     assert np.abs(np.concatenate([y1.numpy(), y2.numpy()]) - yone).max() < 1e-5
 
 
+# -------------------------------------------- compile / mesh composition
+
+def test_iir_psd_compose_under_compile():
+    # design -> filter -> PSD as ONE traced program
+    from dsc_tpu.models import welch
+
+    x = np.random.default_rng(12).standard_normal((4, 4096)).astype(np.float32)
+    sos = butter(4, 0.3)
+
+    @dsc.compile
+    def pipe(s):
+        y = sosfilt(sos, s)
+        _, p = welch(y, nperseg=256)
+        return p
+
+    got = pipe(dsc.from_numpy(x)).numpy()
+    ref = sps.welch(sps.sosfilt(sos, x.astype(np.float64), axis=-1),
+                    nperseg=256, axis=-1)[1]
+    assert np.abs(got - ref).max() < 2e-4 * ref.max()
+    assert pipe.n_programs == 1
+
+
+def test_compile_mesh_shards_batched_sosfilt():
+    # the associative-scan IIR partitions over the batch axis unchanged
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    xs = np.random.default_rng(13).standard_normal((8, 1024)).astype(np.float32)
+    sos = butter(3, 0.25)
+
+    def pipe(v):
+        return sosfilt(sos, v)
+
+    mesh = dsc.make_mesh((len(jax.devices()), 1))
+    f = dsc.compile(pipe, mesh=mesh, in_specs=(P('data'),))
+    got = f(dsc.from_numpy(xs)).numpy()
+    ref = sps.sosfilt(sos, xs.astype(np.float64), axis=-1)
+    assert np.abs(got - ref).max() < 1e-4 * np.abs(ref).max()
+
+
 # ---------------------------------------------------- sosfiltfilt / freqz
 
 def test_sosfiltfilt_matches_scipy():
