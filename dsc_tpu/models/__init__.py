@@ -8,7 +8,7 @@ model family: stateful, reusable, jit-friendly graphs built on the dsc op
 set.
 """
 
-from .filter_fft import FilterFFT, fft_convolve
+from .filter_fft import FilterFFT, correlate, fft_convolve
 from .fir import firwin
 from .iir import (
     butter,
@@ -29,6 +29,7 @@ from .stft import ISTFT, STFT, spectrogram
 __all__ = [
     'FilterFFT',
     'fft_convolve',
+    'correlate',
     'OverlapSave',
     'overlap_save_convolve',
     'STFT',

@@ -40,6 +40,30 @@ def fft_convolve(signal: Tensor, taps: Tensor, mode: str = 'full') -> Tensor:
     raise RuntimeError(f'unknown convolution mode {mode!r}')
 
 
+def correlate(a: Tensor, v: Tensor, mode: str = 'valid') -> Tensor:
+    """1-D cross-correlation via the frequency domain (np.correlate
+    semantics: ``c[k] = sum_n a[n+k] v[n]``, modes 'valid' (default) /
+    'same' / 'full'). Real signals, ``len(a) >= len(v)``. A 1-element
+    result unwraps to a Python scalar (the dsc __getitem__ rule,
+    reference tensor.py:91-103)."""
+    if a.dtype.is_complex or v.dtype.is_complex:
+        raise RuntimeError('correlate expects real signals')
+    n, k = a.shape[-1], v.shape[-1]
+    if n < k:
+        raise RuntimeError(
+            f'correlate: len(a) ({n}) must be >= len(v) ({k})'
+        )
+    full = fft_convolve(a, v[::-1], mode='full')  # length n + k - 1
+    if mode == 'full':
+        return full
+    if mode == 'same':
+        start = (k - 1) // 2
+        return full[start : start + n]
+    if mode == 'valid':
+        return full[k - 1 : n]
+    raise RuntimeError(f'unknown correlation mode {mode!r}')
+
+
 class FilterFFT:
     """Streaming FIR filter: kernel spectrum cached, one rfft+mul+irfft per
     call."""

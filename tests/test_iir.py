@@ -228,6 +228,56 @@ def test_lfilter_zi_streaming():
     assert np.abs(np.concatenate([y1.numpy(), y2.numpy()]) - yone).max() < 1e-5
 
 
+# ----------------------------------------------------------------- fuzz
+
+def test_fuzz_random_stable_sos_vs_scipy():
+    # random stable biquad cascades (poles at radius <= 0.9, zeros in the
+    # unit disk): the associative-scan filter must track scipy's f64
+    # sequential implementation at f32 tolerances
+    rng = np.random.default_rng(7)
+    x = _sig(2048, seed=7)
+    for trial in range(10):
+        ns = int(rng.integers(1, 4))
+        rows = []
+        for _ in range(ns):
+            rp_, thp = rng.uniform(0.1, 0.9), rng.uniform(0, np.pi)
+            rz_, thz = rng.uniform(0.0, 1.0), rng.uniform(0, np.pi)
+            rows.append([
+                1.0, -2 * rz_ * np.cos(thz), rz_ * rz_,
+                1.0, -2 * rp_ * np.cos(thp), rp_ * rp_,
+            ])
+        sos = np.asarray(rows)
+        got = sosfilt(sos, dsc.from_numpy(x)).numpy()
+        ref = sps.sosfilt(sos, x.astype(np.float64))
+        scale = max(np.abs(ref).max(), 1.0)
+        assert np.abs(got - ref).max() < 1e-3 * scale, trial
+
+
+def test_fuzz_random_butter_designs_roundtrip():
+    # random designs: transfer function equals scipy's, and the device
+    # filter output matches scipy's sosfilt on the same design
+    rng = np.random.default_rng(11)
+    w = np.linspace(1e-3, np.pi - 1e-3, 129)
+    x = _sig(1024, seed=11)
+    for trial in range(8):
+        order = int(rng.integers(1, 9))
+        btype = rng.choice(['low', 'high', 'bandpass', 'bandstop'])
+        if btype in ('low', 'high'):
+            wn = float(rng.uniform(0.05, 0.95))
+        else:
+            lohi = np.sort(rng.uniform(0.05, 0.95, 2))
+            while lohi[1] - lohi[0] < 0.05:
+                lohi = np.sort(rng.uniform(0.05, 0.95, 2))
+            wn = lohi.tolist()
+        sos = butter(order, wn, btype)
+        ref_sos = sps.butter(order, wn, btype, output='sos')
+        assert np.abs(_resp(sos, w) - _resp(ref_sos, w)).max() < 1e-9, trial
+        got = sosfilt(sos, dsc.from_numpy(x)).numpy()
+        ref = sps.sosfilt(sos, x.astype(np.float64))
+        scale = max(np.abs(ref).max(), 1e-3)
+        assert np.abs(got - ref).max() < 2e-3 * scale, (trial, order, btype)
+
+
 # -------------------------------------------- compile / mesh composition
 
 def test_iir_psd_compose_under_compile():

@@ -210,6 +210,67 @@ def test_firwin_rejects_bad_args():
         firwin(0, 0.3)
 
 
+# ------------------------------------------------------------ correlate
+
+@pytest.mark.parametrize('mode', ['full', 'same', 'valid'])
+@pytest.mark.parametrize('n,k', [(100, 7), (100, 8), (333, 64)])
+def test_correlate_matches_numpy(mode, n, k):
+    from dsc_tpu.models import correlate
+
+    rng = np.random.default_rng(n + k)
+    a = rng.standard_normal(n).astype(np.float32)
+    v = rng.standard_normal(k).astype(np.float32)
+    got = correlate(dsc.from_numpy(a), dsc.from_numpy(v), mode=mode).numpy()
+    ref = np.correlate(a, v, mode)
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 1e-4 * max(np.abs(ref).max(), 1.0)
+
+
+def test_correlate_peak_finds_delay():
+    from dsc_tpu.models import correlate
+
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(256).astype(np.float32)
+    a = np.zeros(1024, np.float32)
+    a[100 : 100 + 256] = v  # v embedded at offset 100
+    c = correlate(dsc.from_numpy(a), dsc.from_numpy(v), mode='valid').numpy()
+    assert int(np.argmax(c)) == 100
+
+
+def test_correlate_rejects_bad_args():
+    from dsc_tpu.models import correlate
+
+    a = dsc.from_numpy(np.zeros(8, np.float32))
+    v = dsc.from_numpy(np.zeros(16, np.float32))
+    with pytest.raises(RuntimeError):
+        correlate(a, v)
+    with pytest.raises(RuntimeError):
+        correlate(v, a, mode='nope')
+
+
+# ----------------------------------------------------------------- fuzz
+
+def test_fuzz_welch_configs_vs_scipy():
+    rng = np.random.default_rng(42)
+    x = _sig(8192, seed=42)
+    for _ in range(10):
+        nperseg = int(2 ** rng.integers(5, 11))
+        noverlap = int(rng.integers(0, nperseg))
+        windows = ['hann', 'hamming', 'blackman', None]
+        detrends = ['constant', 'linear', False]
+        window = windows[int(rng.integers(len(windows)))]
+        detrend = detrends[int(rng.integers(len(detrends)))]
+        scaling = ['density', 'spectrum'][int(rng.integers(2))]
+        _, p = welch(dsc.from_numpy(x), fs=123.0, window=window,
+                     nperseg=nperseg, noverlap=noverlap, detrend=detrend,
+                     scaling=scaling)
+        _, p_ref = sps.welch(x, fs=123.0, window=window or 'boxcar',
+                             nperseg=nperseg, noverlap=noverlap,
+                             detrend=detrend, scaling=scaling)
+        assert np.abs(p.numpy() - p_ref).max() < 5e-4 * p_ref.max(), (
+            nperseg, noverlap, window, detrend, scaling)
+
+
 def test_firwin_feeds_overlap_save():
     # the designed taps drive the block convolver end-to-end
     from dsc_tpu.models import overlap_save_convolve
