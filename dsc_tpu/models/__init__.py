@@ -25,6 +25,7 @@ from .ola import OverlapSave, overlap_save_convolve
 from .psd import coherence, csd, periodogram, welch
 from .spectral import hilbert, resample
 from .stft import ISTFT, STFT, spectrogram
+from .waveforms import chirp, gausspulse, sawtooth, square
 
 __all__ = [
     'FilterFFT',
@@ -51,4 +52,8 @@ __all__ = [
     'sosfiltfilt',
     'sosfreqz',
     'freqz',
+    'chirp',
+    'square',
+    'sawtooth',
+    'gausspulse',
 ]
