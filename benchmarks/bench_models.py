@@ -131,6 +131,37 @@ def main():
           f'({n / td / 1e6:8.1f} Msample/s)  '
           f'numpy {tn * 1e3:8.2f} ms  ({tn / td:6.2f}x)')
 
+    print('== sosfilt assoc-scan IIR (butter(4, 0.25) lowpass) ==')
+    import scipy.signal as sps
+
+    from dsc_tpu.models import butter, sosfilt, welch
+
+    sos = butter(4, 0.25, 'low')
+    for name, b, n in (('1x2^22', 1, sh(2**22)), ('8x2^20', 8, sh(2**20))):
+        x = rng.standard_normal((b, n)).astype(np.float32)
+        xd = dsc.from_numpy(x if b > 1 else x[0])
+        td = bench(lambda: _sync(sosfilt(sos, xd)))
+        tn = bench_host(lambda: sps.sosfilt(sos, x, axis=-1))
+        ms = b * n / td / 1e6
+        RESULTS.append({'bench': 'sosfilt', 'config': name, 'dsc_s': td,
+                        'scipy_s': tn, 'msamples_s': ms})
+        _dump()
+        print(f'  {name:>9}: dsc {td * 1e3:8.2f} ms ({ms:8.1f} Msample/s)  '
+              f'scipy {tn * 1e3:8.2f} ms  ({tn / td:6.2f}x)')
+
+    print('== welch PSD (nperseg=1024, hann, density) ==')
+    for name, b, n in (('1x2^22', 1, sh(2**22)), ('16x2^18', 16, sh(2**18))):
+        x = rng.standard_normal((b, n)).astype(np.float32)
+        xd = dsc.from_numpy(x if b > 1 else x[0])
+        td = bench(lambda: _sync(welch(xd, nperseg=1024)[1]))
+        tn = bench_host(lambda: sps.welch(x, nperseg=1024, axis=-1)[1])
+        ms = b * n / td / 1e6
+        RESULTS.append({'bench': 'welch', 'config': name, 'dsc_s': td,
+                        'scipy_s': tn, 'msamples_s': ms})
+        _dump()
+        print(f'  {name:>9}: dsc {td * 1e3:8.2f} ms ({ms:8.1f} Msample/s)  '
+              f'scipy {tn * 1e3:8.2f} ms  ({tn / td:6.2f}x)')
+
     print(f'\nresults -> {_out_path()}')
 
 
