@@ -22,8 +22,8 @@ from .iir import (
     sosfreqz,
 )
 from .ola import OverlapSave, overlap_save_convolve
-from .psd import coherence, csd, periodogram, welch
-from .spectral import hilbert, resample
+from .psd import coherence, csd, detrend, periodogram, welch
+from .spectral import hilbert, resample, resample_poly
 from .stft import ISTFT, STFT, spectrogram
 from .waveforms import chirp, gausspulse, sawtooth, square
 
@@ -37,7 +37,9 @@ __all__ = [
     'ISTFT',
     'spectrogram',
     'resample',
+    'resample_poly',
     'hilbert',
+    'detrend',
     'welch',
     'periodogram',
     'csd',

@@ -207,6 +207,32 @@ def welch(
     return f, Tensor._from_jax(pxx if batched else pxx[0])
 
 
+@partial(jax.jit, static_argnames=('kind',))
+def _detrend_program(x, kind):
+    return _detrend_segs(x[:, None, :], x.shape[-1], kind)[:, 0, :]
+
+
+def detrend(x: Tensor, type: str = 'linear') -> Tensor:  # noqa: A002
+    """Remove the mean (``type='constant'``) or a least-squares line
+    (``type='linear'``) from a signal (scipy.signal.detrend semantics
+    over the last axis). x: (n,) or (batch, n) real."""
+    if type not in ('constant', 'linear'):
+        raise RuntimeError(f'detrend: unknown type {type!r}')
+    if x.n_dim > 2:
+        raise RuntimeError(f'detrend: expected a 1-D or 2-D signal, got {x.n_dim}-D')
+    if x.dtype.is_complex:
+        raise RuntimeError('detrend expects a real signal')
+    batched = x.n_dim == 2
+    xj = x.jax if batched else x.jax[None, :]
+    with tracing.trace_op(
+        'detrend', 'op;pipeline', tracing.tensor_args(x=x)
+    ) as tr:
+        out = _detrend_program(xj, type)
+        if tr:
+            tr.result = out
+    return Tensor._from_jax(out if batched else out[0])
+
+
 def _csd_common(x, y, who, fs, window, nperseg, noverlap, detrend, scaling,
                 mode):
     if x.shape != y.shape:

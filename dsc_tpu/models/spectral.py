@@ -89,6 +89,88 @@ def resample(x: Tensor, num: int) -> Tensor:
     return Tensor._from_jax(out if batched else out[0])
 
 
+@partial(
+    jax.jit,
+    static_argnames=('up', 'down', 'n_out', 'spec', 'fft_n', 'hl'),
+)
+def _resample_poly_program(x, h, tables, up, down, n_out, spec, fft_n, hl):
+    """(b, n) real -> (b, n_out) real: zero-stuff by ``up``, convolve
+    with the anti-alias taps ``h`` (length 2*hl+1) in the frequency
+    domain, pick every ``down``-th sample starting at the filter center
+    — upfirdn's polyphase result computed as one batched-FFT program
+    (the polyphase decomposition is a serial-loop optimization for CPUs;
+    on this hardware the batched planar rfft IS the fast path)."""
+    b, n = x.shape
+    if up > 1:
+        xu = jnp.concatenate(
+            [x[:, :, None], jnp.zeros((b, n, up - 1), x.dtype)], axis=2
+        ).reshape(b, n * up)
+    else:
+        xu = x
+    xr, xi = fft_core.rfft_batched_p(
+        jnp.pad(xu, ((0, 0), (0, fft_n - n * up))), spec, tables, fft_n
+    )
+    hr, hi = fft_core.rfft_batched_p(
+        jnp.pad(h[None, :], ((0, 0), (0, fft_n - h.shape[0]))), spec,
+        tables, fft_n,
+    )
+    yr = xr * hr - xi * hi
+    yi = xr * hi + xi * hr
+    conv = fft_core.irfft_batched_p(yr, yi, spec, tables, fft_n)
+    return conv[:, hl : hl + (n_out - 1) * down + 1 : down]
+
+
+def resample_poly(x: Tensor, up: int, down: int,
+                  window=('kaiser', 5.0)) -> Tensor:
+    """Polyphase rational-rate resampling
+    (scipy.signal.resample_poly semantics): upsample by ``up``, apply a
+    zero-phase kaiser-windowed anti-alias FIR (designed by
+    :func:`~dsc_tpu.models.firwin` at cutoff 1/max(up, down)), downsample
+    by ``down``. Unlike the Fourier :func:`resample`, any positive
+    integer rates work — the internal FFT pads to the next power of two.
+    x: (n,) or (batch, n) real; returns ceil(n*up/down) samples."""
+    import math
+
+    if up < 1 or down < 1:
+        raise RuntimeError(
+            f'resample_poly: up ({up}) and down ({down}) must be >= 1'
+        )
+    if x.n_dim > 2:
+        raise RuntimeError(
+            f'resample_poly: expected a 1-D or 2-D signal, got {x.n_dim}-D'
+        )
+    if x.dtype.is_complex:
+        raise RuntimeError('resample_poly expects a real signal')
+    g = math.gcd(int(up), int(down))
+    up, down = int(up) // g, int(down) // g
+    if up == 1 and down == 1:
+        return x
+    from ..dtype import Dtype
+    from .fir import firwin
+
+    n = x.shape[-1]
+    max_rate = max(up, down)
+    hl = 10 * max_rate
+    h64 = firwin(2 * hl + 1, 1.0 / max_rate, window=window,
+                 dtype=Dtype.F64)
+    h = (h64 * float(up)).cast(Dtype.F32)
+    n_out = -(-n * up // down)
+    fft_n = fft_plan.next_pow2(n * up + 2 * hl)
+    spec, tables = fft_plan.get_plan(fft_n, 'real', np.complex64)
+    batched = x.n_dim == 2
+    xj = x.jax if batched else x.jax[None, :]
+    with tracing.trace_op(
+        'resample_poly', 'op;pipeline', tracing.tensor_args(x=x)
+    ) as tr:
+        out = _resample_poly_program(
+            xj.astype(jnp.float32), h.jax, tables, up, down, n_out, spec,
+            fft_n, hl,
+        )
+        if tr:
+            tr.result = out
+    return Tensor._from_jax(out if batched else out[0])
+
+
 @partial(jax.jit, static_argnames=('n', 'spec'))
 def _hilbert_program(x, tables, n, spec):
     """(b, n) real -> (re, im) planes of the analytic signal. The

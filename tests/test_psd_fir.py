@@ -210,6 +210,58 @@ def test_firwin_rejects_bad_args():
         firwin(0, 0.3)
 
 
+# ------------------------------------------------- detrend / resample_poly
+
+def test_detrend_matches_scipy():
+    from dsc_tpu.models import detrend
+
+    x = (_sig(2048, seed=20)
+         + np.linspace(0, 10, 2048, dtype=np.float32) + 5.0)
+    for kind in ('constant', 'linear'):
+        got = detrend(dsc.from_numpy(x), type=kind).numpy()
+        ref = sps.detrend(x.astype(np.float64), type=kind)
+        assert np.abs(got - ref).max() < 1e-3
+    with pytest.raises(RuntimeError):
+        detrend(dsc.from_numpy(x), type='nope')
+
+
+def test_detrend_batched():
+    from dsc_tpu.models import detrend
+
+    xs = np.stack([_sig(512, seed=s) + s * 3.0 for s in range(3)])
+    got = detrend(dsc.from_numpy(xs), type='linear').numpy()
+    ref = sps.detrend(xs.astype(np.float64), type='linear', axis=-1)
+    assert np.abs(got - ref).max() < 1e-3
+
+
+@pytest.mark.parametrize('n,up,down', [
+    (1000, 2, 3), (1000, 3, 2), (999, 7, 5), (512, 1, 2), (512, 5, 1),
+    (1000, 4, 6),  # non-reduced ratio
+])
+def test_resample_poly_matches_scipy(n, up, down):
+    from dsc_tpu.models import resample_poly
+
+    x = _sig(n, seed=n + up + down)
+    got = resample_poly(dsc.from_numpy(x), up, down).numpy()
+    ref = sps.resample_poly(x.astype(np.float64), up, down)
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 1e-4 * max(np.abs(ref).max(), 1.0)
+
+
+def test_resample_poly_batched_and_identity():
+    from dsc_tpu.models import resample_poly
+
+    xs = np.stack([_sig(777, seed=s) for s in range(2)])
+    got = resample_poly(dsc.from_numpy(xs), 3, 4).numpy()
+    ref = sps.resample_poly(xs.astype(np.float64), 3, 4, axis=-1)
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 1e-4 * np.abs(ref).max()
+    x1 = dsc.from_numpy(xs[0])
+    assert resample_poly(x1, 2, 2) is x1
+    with pytest.raises(RuntimeError):
+        resample_poly(x1, 0, 1)
+
+
 # ------------------------------------------------------------ correlate
 
 @pytest.mark.parametrize('mode', ['full', 'same', 'valid'])
