@@ -344,6 +344,21 @@ def main() -> int:
     ok &= check('sosfilt 2^16 (assoc-scan IIR, butter(4,0.25))',
                 np.abs(yi - ri).max() / np.abs(ri).max(), 1e-3)
 
+    # rational-rate polyphase resample + device chirp synthesis
+    from dsc_tpu.models import chirp, resample_poly
+
+    xq = rng.standard_normal(3000).astype(np.float32)
+    yq = resample_poly(dsc.from_numpy(xq), 3, 2).numpy()
+    rq = sps.resample_poly(xq.astype(np.float64), 3, 2)
+    ok &= check('resample_poly 3/2 (batched planar-FFT upfirdn)',
+                np.abs(yq - rq).max() / np.abs(rq).max(), 1e-3)
+    tq = np.arange(2048) / 8000.0
+    yc = chirp(dsc.from_numpy(tq.astype(np.float32)), 100.0, tq[-1],
+               900.0).numpy()
+    rc = sps.chirp(tq, 100.0, tq[-1], 900.0)
+    ok &= check('chirp synthesis (device f64 phase math)',
+                np.abs(yc - rc).max(), 1e-3)
+
     # dsc.map: fused elementwise chain in one streaming pass
     nm = 2**23
     xm = rng.standard_normal(nm).astype(np.float32)
