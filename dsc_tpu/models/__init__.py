@@ -8,7 +8,7 @@ model family: stateful, reusable, jit-friendly graphs built on the dsc op
 set.
 """
 
-from .filter_fft import FilterFFT, correlate, fft_convolve
+from .filter_fft import FilterFFT, correlate, fft_convolve, fft_convolve2
 from .fir import firwin
 from .iir import (
     butter,
@@ -30,6 +30,7 @@ from .waveforms import chirp, gausspulse, sawtooth, square
 __all__ = [
     'FilterFFT',
     'fft_convolve',
+    'fft_convolve2',
     'correlate',
     'OverlapSave',
     'overlap_save_convolve',

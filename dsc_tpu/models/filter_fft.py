@@ -14,7 +14,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..fourier import irfft, rfft
+from ..fourier import irfft, irfft2, rfft, rfft2
 from ..fourier.plan import next_pow2
 from ..fuse import compile as _compile
 from ..tensor import Tensor, from_numpy, mul
@@ -37,6 +37,40 @@ def fft_convolve(signal: Tensor, taps: Tensor, mode: str = 'full') -> Tensor:
     if mode == 'same':
         start = (k - 1) // 2
         return full[start : start + n]
+    raise RuntimeError(f'unknown convolution mode {mode!r}')
+
+
+def fft_convolve2(a: Tensor, k: Tensor, mode: str = 'full') -> Tensor:
+    """2-D convolution via the frequency domain
+    (scipy.signal.fftconvolve semantics for 2-D real inputs, modes
+    'full' / 'same' / 'valid'; 'valid' needs the kernel no larger than
+    the image on both axes). Rides the rfft2/irfft2 family — each
+    transform axis pads to the next power of two."""
+    if a.n_dim != 2 or k.n_dim != 2:
+        raise RuntimeError(
+            f'fft_convolve2: expected 2-D inputs, got {a.n_dim}-D and '
+            f'{k.n_dim}-D'
+        )
+    if a.dtype.is_complex or k.dtype.is_complex:
+        raise RuntimeError('fft_convolve2 expects real inputs')
+    m, n = a.shape
+    p, q = k.shape
+    om, on = m + p - 1, n + q - 1
+    s = (next_pow2(om), next_pow2(on))
+    spec = mul(rfft2(a, s=s), rfft2(k, s=s))
+    full = irfft2(spec)[:om, :on]
+    if mode == 'full':
+        return full
+    if mode == 'same':
+        sm, sn = (p - 1) // 2, (q - 1) // 2
+        return full[sm : sm + m, sn : sn + n]
+    if mode == 'valid':
+        if p > m or q > n:
+            raise RuntimeError(
+                'fft_convolve2: valid mode needs the kernel no larger '
+                'than the image'
+            )
+        return full[p - 1 : m, q - 1 : n]
     raise RuntimeError(f'unknown convolution mode {mode!r}')
 
 

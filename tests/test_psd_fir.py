@@ -300,6 +300,49 @@ def test_correlate_rejects_bad_args():
         correlate(v, a, mode='nope')
 
 
+# --------------------------------------------------------- fft_convolve2
+
+@pytest.mark.parametrize('mode', ['full', 'same', 'valid'])
+@pytest.mark.parametrize('shape', [(64, 80, 5, 7), (33, 47, 8, 8)])
+def test_fft_convolve2_matches_scipy(mode, shape):
+    from dsc_tpu.models import fft_convolve2
+
+    m, n, p, q = shape
+    rng = np.random.default_rng(m * n)
+    a = rng.standard_normal((m, n)).astype(np.float32)
+    k = rng.standard_normal((p, q)).astype(np.float32)
+    got = fft_convolve2(dsc.from_numpy(a), dsc.from_numpy(k), mode=mode)
+    ref = sps.fftconvolve(a, k, mode=mode)
+    assert got.shape == ref.shape
+    assert np.abs(got.numpy() - ref).max() < 1e-3 * np.abs(ref).max()
+
+
+def test_fft_convolve2_gaussian_blur():
+    # a separable blur through the 2-D path equals two 1-D passes
+    from dsc_tpu.models import fft_convolve2
+
+    rng = np.random.default_rng(9)
+    img = rng.standard_normal((96, 128)).astype(np.float32)
+    g = np.exp(-0.5 * (np.arange(-3, 4) / 1.5) ** 2)
+    g = (g / g.sum()).astype(np.float32)
+    got = fft_convolve2(dsc.from_numpy(img),
+                        dsc.from_numpy(np.outer(g, g)), mode='same').numpy()
+    ref = sps.fftconvolve(img, np.outer(g, g), mode='same')
+    assert np.abs(got - ref).max() < 1e-4
+
+
+def test_fft_convolve2_rejects_bad_args():
+    from dsc_tpu.models import fft_convolve2
+
+    a = dsc.from_numpy(np.zeros((8, 8), np.float32))
+    v = dsc.from_numpy(np.zeros(8, np.float32))
+    with pytest.raises(RuntimeError):
+        fft_convolve2(a, v)
+    big = dsc.from_numpy(np.zeros((16, 16), np.float32))
+    with pytest.raises(RuntimeError):
+        fft_convolve2(a, big, mode='valid')
+
+
 # ----------------------------------------------------------------- fuzz
 
 def test_fuzz_welch_configs_vs_scipy():
