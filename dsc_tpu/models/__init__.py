@@ -9,7 +9,7 @@ set.
 """
 
 from .filter_fft import FilterFFT, correlate, fft_convolve, fft_convolve2
-from .fir import firwin
+from .fir import firwin, savgol_coeffs, savgol_filter
 from .iir import (
     butter,
     cheby1,
@@ -46,6 +46,8 @@ __all__ = [
     'csd',
     'coherence',
     'firwin',
+    'savgol_coeffs',
+    'savgol_filter',
     'butter',
     'cheby1',
     'cheby2',

@@ -22,7 +22,8 @@ from ..tensor import Tensor, from_numpy, mul
 
 def fft_convolve(signal: Tensor, taps: Tensor, mode: str = 'full') -> Tensor:
     """1-D convolution via the frequency domain (np.convolve semantics for
-    mode='full'/'same')."""
+    mode='full'/'same'). ``signal`` may be (n,) or batched (b, n) with
+    1-D ``taps``."""
     n = signal.shape[-1]
     k = taps.shape[-1]
     out_len = n + k - 1
@@ -31,12 +32,17 @@ def fft_convolve(signal: Tensor, taps: Tensor, mode: str = 'full') -> Tensor:
         rfft(signal, n=fft_n),
         rfft(taps, n=fft_n),
     )
-    full = irfft(spec)[:out_len]
+    conv = irfft(spec)
+    batched = signal.n_dim == 2
+
+    def crop(lo, hi):
+        return conv[:, lo:hi] if batched else conv[lo:hi]
+
     if mode == 'full':
-        return full
+        return crop(0, out_len)
     if mode == 'same':
         start = (k - 1) // 2
-        return full[start : start + n]
+        return crop(start, start + n)
     raise RuntimeError(f'unknown convolution mode {mode!r}')
 
 

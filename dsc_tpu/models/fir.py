@@ -1,4 +1,5 @@
-"""Window-method FIR filter design: ``firwin``.
+"""Window-method FIR filter design (``firwin``) and Savitzky-Golay
+smoothing (``savgol_coeffs`` / ``savgol_filter``).
 
 scipy.signal.firwin semantics, computed with the PUBLIC dsc op surface
 (``arange``/``sinc``/``cos``/``sum`` and the device window generators) —
@@ -107,3 +108,108 @@ def firwin(
         resp = h * cos(shifted * float(np.pi * sf)) if sf else h
         h = h / dsc_sum(resp, axis=-1, keepdims=True)
     return h
+
+
+def savgol_coeffs(window_length: int, polyorder: int, deriv: int = 0,
+                  delta: float = 1.0) -> np.ndarray:
+    """Savitzky-Golay FIR coefficients (scipy.signal.savgol_coeffs
+    semantics, convolution orientation): the least-squares polynomial
+    smoother of degree ``polyorder`` over ``window_length`` samples,
+    optionally returning the ``deriv``-th derivative estimate. Host f64
+    (design time)."""
+    if window_length < 1 or window_length % 2 == 0:
+        raise RuntimeError(
+            f'savgol: window_length ({window_length}) must be odd and >= 1'
+        )
+    if not 0 <= polyorder < window_length:
+        raise RuntimeError(
+            f'savgol: polyorder ({polyorder}) must be in [0, window_length)'
+        )
+    if deriv > polyorder:
+        return np.zeros(window_length, np.float64)
+    import math
+
+    halflen = window_length // 2
+    x = np.arange(-halflen, window_length - halflen, dtype=np.float64)[::-1]
+    order = np.arange(polyorder + 1).reshape(-1, 1)
+    A = x ** order
+    y = np.zeros(polyorder + 1, np.float64)
+    y[deriv] = math.factorial(deriv) / (delta ** deriv)
+    return np.linalg.lstsq(A, y, rcond=None)[0]
+
+
+def _polyfit_edge_matrix(window_length: int, polyorder: int, halflen: int,
+                         deriv: int, delta: float, tail: bool) -> np.ndarray:
+    """(halflen, window_length) matrix E with E @ x_window = the deriv-th
+    derivative of the least-squares polynomial fit, evaluated at the
+    first (or last) ``halflen`` sample positions — scipy savgol_filter's
+    mode='interp' edge treatment as one precomputed matmul."""
+    t = np.arange(window_length, dtype=np.float64)
+    V = t[:, None] ** np.arange(polyorder + 1)[None, :]
+    pinv = np.linalg.pinv(V)  # (polyorder+1, window_length)
+    pos = t[-halflen:] if tail else t[:halflen]
+    # derivative of sum_k c_k t^k: sum_k c_k k!/(k-d)! t^(k-d) / delta^d
+    ks = np.arange(polyorder + 1)
+    dcoef = np.where(
+        ks >= deriv,
+        np.array([np.prod(np.arange(k - deriv + 1, k + 1, dtype=np.float64))
+                  for k in ks]),
+        0.0,
+    ) / (delta ** deriv)
+    Pd = np.zeros((len(pos), polyorder + 1))
+    for j, k in enumerate(ks):
+        if k >= deriv:
+            Pd[:, j] = dcoef[j] * pos ** (k - deriv)
+    return Pd @ pinv
+
+
+def savgol_filter(x: Tensor, window_length: int, polyorder: int,
+                  deriv: int = 0, delta: float = 1.0,
+                  mode: str = 'interp') -> Tensor:
+    """Savitzky-Golay smoothing/differentiation
+    (scipy.signal.savgol_filter semantics, ``mode='interp'``): the
+    interior is the savgol FIR applied by FFT convolution, the first and
+    last half-windows are polynomial fits to the edge windows — both
+    expressed as matmuls/convolutions in ONE fused program chain."""
+    import jax.numpy as jnp
+
+    from .filter_fft import fft_convolve
+
+    if mode != 'interp':
+        raise RuntimeError(
+            f'savgol_filter: only mode=\'interp\' (the scipy default) is '
+            f'implemented, got {mode!r}'
+        )
+    if x.n_dim > 2:
+        raise RuntimeError(
+            f'savgol_filter: expected a 1-D or 2-D signal, got {x.n_dim}-D'
+        )
+    n = x.shape[-1]
+    if window_length > n:
+        raise RuntimeError(
+            f'savgol_filter: window_length ({window_length}) exceeds the '
+            f'signal length ({n})'
+        )
+    coeffs = savgol_coeffs(window_length, polyorder, deriv, delta)
+    halflen = window_length // 2
+    batched = x.n_dim == 2
+    xj = x.jax if batched else x.jax[None, :]
+    mid = fft_convolve(
+        Tensor._from_jax(xj), from_numpy(coeffs.astype(np.float32)),
+        mode='same',
+    ).jax
+    if halflen:
+        eh = jnp.asarray(_polyfit_edge_matrix(
+            window_length, polyorder, halflen, deriv, delta, tail=False
+        ).astype(np.float32))
+        et = jnp.asarray(_polyfit_edge_matrix(
+            window_length, polyorder, halflen, deriv, delta, tail=True
+        ).astype(np.float32))
+        head = xj[:, :window_length] @ eh.T
+        tail = xj[:, -window_length:] @ et.T
+        out = jnp.concatenate(
+            [head, mid[:, halflen : n - halflen], tail], axis=1
+        )
+    else:
+        out = mid
+    return Tensor._from_jax(out if batched else out[0])

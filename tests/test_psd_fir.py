@@ -366,6 +366,63 @@ def test_fuzz_welch_configs_vs_scipy():
             nperseg, noverlap, window, detrend, scaling)
 
 
+# --------------------------------------------------------------- savgol
+
+def test_savgol_coeffs_exact():
+    from dsc_tpu.models import savgol_coeffs
+
+    for wl, po, d, dt in [(11, 3, 0, 1.0), (9, 4, 2, 0.5), (5, 2, 1, 2.0)]:
+        got = savgol_coeffs(wl, po, deriv=d, delta=dt)
+        ref = sps.savgol_coeffs(wl, po, deriv=d, delta=dt)
+        assert np.abs(got - ref).max() < 1e-12
+
+
+@pytest.mark.parametrize('wl,po,d', [(11, 3, 0), (21, 4, 0), (9, 4, 2),
+                                     (5, 2, 1)])
+def test_savgol_filter_matches_scipy(wl, po, d):
+    from dsc_tpu.models import savgol_filter
+
+    rng = np.random.default_rng(wl)
+    x = (np.sin(np.linspace(0, 6, 500))
+         + 0.1 * rng.standard_normal(500)).astype(np.float32)
+    got = savgol_filter(dsc.from_numpy(x), wl, po, deriv=d,
+                        delta=0.3).numpy()
+    ref = sps.savgol_filter(x.astype(np.float64), wl, po, deriv=d,
+                            delta=0.3)
+    assert np.abs(got - ref).max() < 1e-4 * max(np.abs(ref).max(), 1e-9)
+
+
+def test_savgol_filter_batched_and_errors():
+    from dsc_tpu.models import savgol_filter
+
+    xs = np.random.default_rng(5).standard_normal((3, 256)).astype(np.float32)
+    got = savgol_filter(dsc.from_numpy(xs), 11, 3).numpy()
+    ref = sps.savgol_filter(xs.astype(np.float64), 11, 3, axis=-1)
+    assert np.abs(got - ref).max() < 1e-4
+    x1 = dsc.from_numpy(xs[0])
+    with pytest.raises(RuntimeError):
+        savgol_filter(x1, 10, 3)  # even window
+    with pytest.raises(RuntimeError):
+        savgol_filter(x1, 11, 11)  # polyorder >= window
+    with pytest.raises(RuntimeError):
+        savgol_filter(x1, 257, 3)  # window > signal
+    with pytest.raises(RuntimeError):
+        savgol_filter(x1, 11, 3, mode='mirror')
+
+
+def test_fft_convolve_batched():
+    from dsc_tpu.models import fft_convolve
+
+    sig = np.random.default_rng(6).standard_normal((3, 777)).astype(np.float32)
+    taps = np.random.default_rng(7).standard_normal(64).astype(np.float32)
+    for mode in ('full', 'same'):
+        got = fft_convolve(dsc.from_numpy(sig), dsc.from_numpy(taps),
+                           mode=mode).numpy()
+        ref = np.stack([np.convolve(row, taps, mode) for row in sig])
+        assert got.shape == ref.shape
+        assert np.abs(got - ref).max() < 1e-4 * np.abs(ref).max()
+
+
 def test_firwin_feeds_overlap_save():
     # the designed taps drive the block convolver end-to-end
     from dsc_tpu.models import overlap_save_convolve
