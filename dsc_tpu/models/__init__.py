@@ -21,6 +21,7 @@ from .iir import (
     sosfiltfilt,
     sosfreqz,
 )
+from .nonlinear import medfilt, wiener
 from .ola import OverlapSave, overlap_save_convolve
 from .psd import coherence, csd, detrend, periodogram, welch
 from .spectral import hilbert, resample, resample_poly
@@ -41,6 +42,8 @@ __all__ = [
     'resample_poly',
     'hilbert',
     'detrend',
+    'medfilt',
+    'wiener',
     'welch',
     'periodogram',
     'csd',

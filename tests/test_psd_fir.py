@@ -300,6 +300,40 @@ def test_correlate_rejects_bad_args():
         correlate(v, a, mode='nope')
 
 
+# ------------------------------------------------------ medfilt / wiener
+
+@pytest.mark.parametrize('k', [3, 5, 9])
+def test_medfilt_matches_scipy(k):
+    from dsc_tpu.models import medfilt
+
+    x = _sig(501, seed=k)
+    got = medfilt(dsc.from_numpy(x), k).numpy()
+    ref = sps.medfilt(x.astype(np.float64), k)
+    assert np.abs(got - ref).max() == 0.0  # medians are exact picks
+
+
+def test_medfilt_batched_and_errors():
+    from dsc_tpu.models import medfilt
+
+    xs = np.random.default_rng(1).standard_normal((3, 128)).astype(np.float32)
+    got = medfilt(dsc.from_numpy(xs), 5).numpy()
+    for i in range(3):
+        assert np.array_equal(got[i], sps.medfilt(xs[i].astype(np.float64), 5)
+                              .astype(np.float32))
+    with pytest.raises(RuntimeError):
+        medfilt(dsc.from_numpy(xs), 4)
+
+
+@pytest.mark.parametrize('k,noise', [(3, None), (5, 0.5), (9, None)])
+def test_wiener_matches_scipy(k, noise):
+    from dsc_tpu.models import wiener
+
+    x = _sig(501, seed=k + 10)
+    got = wiener(dsc.from_numpy(x), k, noise).numpy()
+    ref = sps.wiener(x.astype(np.float64), k, noise)
+    assert np.abs(got - ref).max() < 1e-4 * max(np.abs(ref).max(), 1.0)
+
+
 # --------------------------------------------------------- fft_convolve2
 
 @pytest.mark.parametrize('mode', ['full', 'same', 'valid'])
