@@ -8,6 +8,7 @@ model family: stateful, reusable, jit-friendly graphs built on the dsc op
 set.
 """
 
+from .czt import CZT, czt, zoom_fft
 from .filter_fft import FilterFFT, correlate, fft_convolve, fft_convolve2
 from .fir import firwin, savgol_coeffs, savgol_filter
 from .iir import (
@@ -60,6 +61,9 @@ __all__ = [
     'sosfiltfilt',
     'sosfreqz',
     'freqz',
+    'CZT',
+    'czt',
+    'zoom_fft',
     'chirp',
     'square',
     'sawtooth',
