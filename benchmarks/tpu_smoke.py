@@ -359,6 +359,21 @@ def main() -> int:
     ok &= check('chirp synthesis (device f64 phase math)',
                 np.abs(yc - rc).max(), 1e-3)
 
+    # exact any-length DFT via Bluestein + savgol smoothing on-chip
+    from dsc_tpu.models import czt, savgol_filter
+
+    xz = (rng.standard_normal(1000)
+          + 1j * rng.standard_normal(1000)).astype(np.complex64)
+    yz = czt(dsc.from_numpy(xz)).numpy()
+    rz = np.fft.fft(xz.astype(np.complex128))
+    ok &= check('czt 1000 == exact non-pow2 DFT (Bluestein)',
+                np.abs(yz - rz).max() / np.abs(rz).max(), 1e-4)
+    xs2 = np.sin(np.linspace(0, 6, 4096)).astype(np.float32)
+    ys2 = savgol_filter(dsc.from_numpy(xs2), 21, 4).numpy()
+    rs2 = sps.savgol_filter(xs2.astype(np.float64), 21, 4)
+    ok &= check('savgol_filter 21/4 (interp edges)',
+                np.abs(ys2 - rs2).max(), 1e-3)
+
     # dsc.map: fused elementwise chain in one streaming pass
     nm = 2**23
     xm = rng.standard_normal(nm).astype(np.float32)

@@ -91,3 +91,65 @@ def kaiser(n: int, beta: float, dtype: Dtype = Dtype.F32) -> Tensor:
     """Kaiser window of length n with shape parameter beta (np.kaiser
     semantics), computed through the same Bessel-I0 kernel as dsc.i0."""
     return _window('kaiser', n, dtype, beta=float(beta))
+
+
+@partial(jax.jit, static_argnames=('n', 'dtype'))
+def _bartlett_window(*, n, dtype):
+    k = jnp.arange(n, dtype=jnp.float64)
+    w = 1.0 - jnp.abs(2.0 * k / (n - 1) - 1.0)
+    return w.astype(dtype)
+
+
+@partial(jax.jit, static_argnames=('n', 'dtype'))
+def _tukey_window(alpha, *, n, dtype):
+    k = jnp.arange(n, dtype=jnp.float64)
+    edge = alpha * (n - 1) / 2.0
+    # symmetric tapered-cosine: cosine ramps over the first/last
+    # alpha/2 fraction, flat top between (scipy.signal.windows.tukey)
+    left = 0.5 * (1.0 + jnp.cos(jnp.pi * (k / jnp.maximum(edge, 1e-300) - 1.0)))
+    right = 0.5 * (1.0 + jnp.cos(
+        jnp.pi * ((k - (n - 1 - edge)) / jnp.maximum(edge, 1e-300))
+    ))
+    w = jnp.where(k < edge, left, jnp.where(k > n - 1 - edge, right, 1.0))
+    return w.astype(dtype)
+
+
+def bartlett(n: int, dtype: Dtype = Dtype.F32) -> Tensor:
+    """Bartlett (triangular) window of length n (np.bartlett semantics)."""
+    if Dtype(dtype).is_complex:
+        raise RuntimeError(f'bartlett window requires a real dtype, got {dtype}')
+    np_dt = DTYPE_TO_NP[Dtype(dtype)]
+    with tracing.trace_op('bartlett', 'op;creation', {'n': n}) as tr:
+        with _creation_ctx(Dtype(dtype)):
+            if n < 1:
+                res = jnp.zeros((0,), np_dt)
+            elif n == 1:
+                res = jnp.ones((1,), np_dt)
+            else:
+                res = _bartlett_window(n=n, dtype=np_dt)
+        if tr:
+            tr.result = res
+    return Tensor._from_jax(res)
+
+
+def tukey(n: int, alpha: float = 0.5, dtype: Dtype = Dtype.F32) -> Tensor:
+    """Tukey (tapered-cosine) window (scipy.signal.windows.tukey
+    symmetric semantics): ``alpha=0`` is rectangular, ``alpha=1`` is
+    Hann."""
+    if not 0.0 <= alpha <= 1.0:
+        raise RuntimeError(f'tukey: alpha ({alpha}) must be in [0, 1]')
+    if Dtype(dtype).is_complex:
+        raise RuntimeError(f'tukey window requires a real dtype, got {dtype}')
+    np_dt = DTYPE_TO_NP[Dtype(dtype)]
+    with tracing.trace_op('tukey', 'op;creation',
+                          {'n': n, 'alpha': alpha}) as tr:
+        with _creation_ctx(Dtype(dtype)):
+            if n < 1:
+                res = jnp.zeros((0,), np_dt)
+            elif n == 1 or alpha == 0.0:
+                res = jnp.ones((max(n, 0),), np_dt)
+            else:
+                res = _tukey_window(jnp.float64(alpha), n=n, dtype=np_dt)
+        if tr:
+            tr.result = res
+    return Tensor._from_jax(res)

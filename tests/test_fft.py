@@ -207,6 +207,23 @@ def test_windows():
     )
 
 
+def test_bartlett_tukey_windows():
+    import scipy.signal.windows as spw
+
+    for n in (1, 2, 64, 255):
+        assert all_close(dsc.bartlett(n).numpy(),
+                         np.bartlett(n).astype(np.float32))
+        for alpha in (0.0, 0.25, 0.5, 1.0):
+            assert all_close(
+                dsc.tukey(n, alpha).numpy(),
+                spw.tukey(n, alpha, sym=True).astype(np.float32),
+            ), (n, alpha)
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        dsc.tukey(64, 1.5)
+
+
 def test_custom_window_in_stft():
     """STFT/ISTFT accept a dsc Tensor window (e.g. kaiser) and still
     reconstruct exactly where the window coverage is nonzero."""
