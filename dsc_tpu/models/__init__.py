@@ -10,13 +10,21 @@ set.
 
 from .czt import CZT, czt, zoom_fft
 from .filter_fft import FilterFFT, correlate, fft_convolve, fft_convolve2
-from .fir import firwin, savgol_coeffs, savgol_filter
+from .fir import (
+    firwin,
+    kaiser_atten,
+    kaiser_beta,
+    kaiserord,
+    savgol_coeffs,
+    savgol_filter,
+)
 from .iir import (
     butter,
     cheby1,
     cheby2,
     decimate,
     freqz,
+    group_delay,
     lfilter,
     sosfilt,
     sosfiltfilt,
@@ -50,6 +58,9 @@ __all__ = [
     'csd',
     'coherence',
     'firwin',
+    'kaiserord',
+    'kaiser_beta',
+    'kaiser_atten',
     'savgol_coeffs',
     'savgol_filter',
     'butter',
@@ -61,6 +72,7 @@ __all__ = [
     'sosfiltfilt',
     'sosfreqz',
     'freqz',
+    'group_delay',
     'CZT',
     'czt',
     'zoom_fft',

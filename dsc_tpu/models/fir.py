@@ -110,6 +110,37 @@ def firwin(
     return h
 
 
+def kaiser_beta(a: float) -> float:
+    """Kaiser beta for ``a`` dB of stopband attenuation
+    (scipy.signal.kaiser_beta, the classic Kaiser empirical fit)."""
+    if a > 50:
+        return 0.1102 * (a - 8.7)
+    if a > 21:
+        return 0.5842 * (a - 21) ** 0.4 + 0.07886 * (a - 21)
+    return 0.0
+
+
+def kaiser_atten(numtaps: int, width: float) -> float:
+    """Attenuation (dB) of a ``numtaps``-tap Kaiser FIR with transition
+    width ``width`` (fraction of Nyquist; scipy.signal.kaiser_atten)."""
+    return 2.285 * (numtaps - 1) * np.pi * width + 7.95
+
+
+def kaiserord(ripple: float, width: float) -> tuple:
+    """(numtaps, beta) for a Kaiser FIR meeting ``ripple`` dB and
+    transition ``width`` (scipy.signal.kaiserord semantics; numtaps may
+    come back even — bump it for filter types needing odd taps)."""
+    a = abs(ripple)
+    if a < 8:
+        raise RuntimeError(
+            'kaiserord: ripple attenuation too small for the Kaiser '
+            'formula (need >= 8 dB)'
+        )
+    beta = kaiser_beta(a)
+    numtaps = (a - 7.95) / (2.285 * np.pi * width) + 1
+    return int(np.ceil(numtaps)), beta
+
+
 def savgol_coeffs(window_length: int, polyorder: int, deriv: int = 0,
                   delta: float = 1.0) -> np.ndarray:
     """Savitzky-Golay FIR coefficients (scipy.signal.savgol_coeffs

@@ -284,6 +284,28 @@ def sosfreqz(sos, worN: int = 512, fs: float = 2.0 * np.pi):
     return w, h
 
 
+def group_delay(system, worN: int = 512, fs: float = 2.0 * np.pi):
+    """Group delay -d(phase)/d(omega) of a rational filter ``(b, a)``
+    in samples (scipy.signal.group_delay semantics), via the exact
+    Smith ramp identity on the combined numerator b*conj(a reversed)
+    rather than a finite difference."""
+    b, a = system
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    w = np.arange(int(worN)) * (fs / 2.0) / int(worN)
+    omega = 2.0 * np.pi * w / fs
+    c = np.convolve(b, a[::-1])
+    cr = c * np.arange(len(c))
+    z = np.exp(-1j * omega)
+    num = np.polyval(cr[::-1], z)
+    den = np.polyval(c[::-1], z)
+    singular = np.abs(den) < 10 * np.finfo(np.float64).eps
+    gd = np.zeros_like(w)
+    good = ~singular
+    gd[good] = np.real(num[good] / den[good]) - (len(a) - 1)
+    return w, gd
+
+
 def freqz(b, a=1.0, worN: int = 512, fs: float = 2.0 * np.pi):
     """Frequency response of a rational filter (scipy.signal.freqz
     semantics): returns ``(w, h)`` over ``worN`` points on [0, fs/2)."""

@@ -359,6 +359,41 @@ def test_sosfreqz_matches_scipy():
     assert np.abs(h - h_ref).max() < 1e-12
 
 
+def test_group_delay_matches_scipy():
+    from dsc_tpu.models import group_delay
+
+    b, a = sps.butter(4, 0.3)
+    w1, g1 = group_delay((b, a), worN=64)
+    w2, g2 = sps.group_delay((b, a), w=64)
+    assert np.allclose(w1, w2) and np.abs(g1 - g2).max() < 1e-10
+    taps = sps.firwin(31, 0.4)  # linear phase: constant delay (N-1)/2
+    _, gf = group_delay((taps, [1.0]), worN=32)
+    assert np.abs(gf - 15.0).max() < 1e-8
+
+
+def test_kaiserord_family_matches_scipy():
+    from dsc_tpu.models import kaiser_atten, kaiser_beta, kaiserord
+
+    for r, w in [(60.0, 0.1), (30.0, 0.05), (80.0, 0.02), (15.0, 0.2)]:
+        assert kaiserord(r, w) == sps.kaiserord(r, w)
+    for a in (10.0, 21.5, 60.0):
+        assert abs(kaiser_beta(a) - sps.kaiser_beta(a)) < 1e-12
+    assert abs(kaiser_atten(101, 0.1) - sps.kaiser_atten(101, 0.1)) < 1e-12
+    with pytest.raises(RuntimeError):
+        kaiserord(5.0, 0.1)
+
+
+def test_kaiserord_drives_firwin_design():
+    # the classic flow: spec -> kaiserord -> firwin(kaiser) -> filter
+    from dsc_tpu.models import firwin, kaiserord
+
+    numtaps, beta = kaiserord(60.0, 0.1)
+    numtaps += 1 - numtaps % 2  # odd for a type-I lowpass
+    got = firwin(numtaps, 0.35, window=('kaiser', beta)).numpy()
+    ref = sps.firwin(numtaps, 0.35, window=('kaiser', beta))
+    assert np.abs(got - ref).max() < 1e-5
+
+
 def test_freqz_matches_scipy():
     b, a = sps.butter(4, 0.35)
     w, h = freqz(b, a, worN=128, fs=48000.0)
