@@ -12,6 +12,7 @@ from .czt import CZT, czt, zoom_fft
 from .filter_fft import FilterFFT, correlate, fft_convolve, fft_convolve2
 from .fir import (
     firwin,
+    firwin2,
     kaiser_atten,
     kaiser_beta,
     kaiserord,
@@ -58,6 +59,7 @@ __all__ = [
     'csd',
     'coherence',
     'firwin',
+    'firwin2',
     'kaiserord',
     'kaiser_beta',
     'kaiser_atten',

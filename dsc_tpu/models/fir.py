@@ -110,6 +110,51 @@ def firwin(
     return h
 
 
+def firwin2(numtaps: int, freq, gain, nfreqs: Optional[int] = None,
+            window='hamming', fs: float = 2.0,
+            dtype: Dtype = Dtype.F32) -> Tensor:
+    """FIR design from an arbitrary frequency response
+    (scipy.signal.firwin2 semantics): linearly interpolate ``gain`` over
+    ``freq`` onto a fine grid, attach the linear-phase term, inverse-
+    transform, truncate to ``numtaps`` and window. The inverse transform
+    rides the public irfft. ``freq`` spans [0, fs/2] and must start at 0
+    and end at fs/2."""
+    from ..fourier import irfft
+    from ..fourier.plan import next_pow2
+
+    if numtaps < 3:
+        raise RuntimeError(f'firwin2: numtaps ({numtaps}) must be >= 3')
+    f = np.asarray(freq, np.float64) / (fs / 2.0)
+    g = np.asarray(gain, np.float64)
+    if f.shape != g.shape or f.ndim != 1 or f.size < 2:
+        raise RuntimeError('firwin2: freq and gain must be equal-length 1-D')
+    if f[0] != 0.0 or f[-1] != 1.0:
+        raise RuntimeError(
+            'firwin2: freq must start at 0 and end at fs/2'
+        )
+    if np.any(np.diff(f) < 0):
+        raise RuntimeError('firwin2: freq must be nondecreasing')
+    if numtaps % 2 == 0 and g[-1] != 0.0:
+        raise RuntimeError(
+            'firwin2: even numtaps needs zero gain at Nyquist'
+        )
+    if nfreqs is None:
+        nfreqs = 1 + next_pow2(numtaps)
+    if numtaps >= nfreqs:
+        raise RuntimeError(
+            f'firwin2: nfreqs ({nfreqs}) must exceed numtaps ({numtaps})'
+        )
+    # interpolate the magnitude onto the grid and attach linear phase
+    x = np.linspace(0.0, 1.0, nfreqs)
+    fx = np.interp(x, f, g)
+    shift = np.exp(-(numtaps - 1) / 2.0 * 1j * np.pi * x)
+    fx2 = fx * shift
+    spec = from_numpy(fx2.astype(np.complex64))
+    full = irfft(spec)  # default out length = 2*(nfreqs-1), np semantics
+    taps = full[:numtaps]
+    return taps * _design_window(window, numtaps, dtype)
+
+
 def kaiser_beta(a: float) -> float:
     """Kaiser beta for ``a`` dB of stopband attenuation
     (scipy.signal.kaiser_beta, the classic Kaiser empirical fit)."""

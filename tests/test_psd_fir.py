@@ -400,6 +400,30 @@ def test_fuzz_welch_configs_vs_scipy():
             nperseg, noverlap, window, detrend, scaling)
 
 
+@pytest.mark.parametrize('numtaps,freq,gain', [
+    (65, [0.0, 0.3, 0.5, 1.0], [1.0, 1.0, 0.0, 0.0]),
+    (33, [0.0, 0.2, 0.4, 0.6, 1.0], [0.0, 1.0, 0.5, 1.0, 0.0]),
+    (64, [0.0, 0.5, 1.0], [1.0, 0.5, 0.0]),
+])
+def test_firwin2_matches_scipy(numtaps, freq, gain):
+    from dsc_tpu.models import firwin2
+
+    got = firwin2(numtaps, freq, gain).numpy()
+    ref = sps.firwin2(numtaps, freq, gain)
+    assert np.abs(got - ref).max() < 1e-5
+
+
+def test_firwin2_rejects_bad_args():
+    from dsc_tpu.models import firwin2
+
+    with pytest.raises(RuntimeError):
+        firwin2(65, [0.1, 1.0], [1.0, 0.0])  # freq not starting at 0
+    with pytest.raises(RuntimeError):
+        firwin2(64, [0.0, 1.0], [1.0, 1.0])  # even taps, Nyquist gain != 0
+    with pytest.raises(RuntimeError):
+        firwin2(65, [0.0, 0.5, 0.4, 1.0], [1, 1, 0, 0])  # non-monotone
+
+
 # --------------------------------------------------------------- savgol
 
 def test_savgol_coeffs_exact():
