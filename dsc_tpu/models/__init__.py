@@ -33,7 +33,14 @@ from .iir import (
 )
 from .nonlinear import medfilt, wiener
 from .ola import OverlapSave, overlap_save_convolve
-from .psd import coherence, csd, detrend, periodogram, welch
+from .psd import (
+    coherence,
+    csd,
+    detrend,
+    periodogram,
+    psd_spectrogram,
+    welch,
+)
 from .spectral import hilbert, resample, resample_poly
 from .stft import ISTFT, STFT, spectrogram
 from .waveforms import chirp, gausspulse, sawtooth, square
@@ -58,6 +65,7 @@ __all__ = [
     'periodogram',
     'csd',
     'coherence',
+    'psd_spectrogram',
     'firwin',
     'firwin2',
     'kaiserord',

@@ -31,20 +31,43 @@ from ..tensor import Tensor
 from .stft import _frame_dense, _make_window
 
 
+def _np_tukey(n: int, alpha: float) -> np.ndarray:
+    """Symmetric tapered-cosine window, host f64 (scipy.signal.windows
+    .tukey(sym=True) formula — numpy has no tukey)."""
+    if alpha <= 0 or n == 1:
+        return np.ones(n)
+    k = np.arange(n, dtype=np.float64)
+    edge = alpha * (n - 1) / 2.0
+    w = np.ones(n)
+    lo = k < edge
+    hi = k > n - 1 - edge
+    w[lo] = 0.5 * (1.0 + np.cos(np.pi * (k[lo] / edge - 1.0)))
+    w[hi] = 0.5 * (1.0 + np.cos(np.pi * (k[hi] - (n - 1 - edge)) / edge))
+    return w
+
+
 def _spectral_window(window, nperseg: int) -> np.ndarray:
     """Window spec -> f32 host array under scipy.signal's PSD convention:
     named windows are PERIODIC (``get_window(..., fftbins=True)``), i.e.
     the length-(n+1) symmetric window with the last sample dropped — not
-    the symmetric np.* forms the STFT models use. Tensors/array-likes
-    pass through as given."""
+    the symmetric np.* forms the STFT models use. Accepts names,
+    ('tukey', alpha) / ('kaiser', beta) tuples, Tensors and array-likes
+    (the latter two pass through as given)."""
     if isinstance(window, str):
         maker = {
             'hann': np.hanning, 'hamming': np.hamming,
-            'blackman': np.blackman,
+            'blackman': np.blackman, 'bartlett': np.bartlett,
         }.get(window)
         if maker is None:
             raise RuntimeError(f'unknown window {window!r}')
         return maker(nperseg + 1)[:-1].astype(np.float32)
+    if isinstance(window, tuple) and len(window) == 2:
+        kind, param = window
+        if kind == 'tukey':
+            return _np_tukey(nperseg + 1, float(param))[:-1].astype(np.float32)
+        if kind == 'kaiser':
+            return np.kaiser(nperseg + 1, float(param))[:-1].astype(np.float32)
+        raise RuntimeError(f'unknown window {window!r}')
     return _make_window(window, nperseg)
 
 
@@ -312,6 +335,84 @@ def coherence(
 
     f = _fourier.rfftfreq(nperseg, d=1.0 / fs)
     return f, Tensor._from_jax(cxy if batched else cxy[0])
+
+
+@partial(
+    jax.jit,
+    static_argnames=('nperseg', 'hop', 'n_frames', 'spec', 'detrend',
+                     'mode'),
+)
+def _specgram_program(x, window, tables, scale, nperseg, hop, n_frames,
+                      spec, detrend, mode):
+    segs = _frame_dense(x, nperseg, hop, n_frames)
+    segs = _detrend_segs(segs, nperseg, detrend)
+    fx = (segs * window[None, None, :]).reshape(-1, nperseg)
+    z = fft_core.rfft_batched(fx, spec, tables, nperseg)
+    zr = jnp.real(z).reshape(x.shape[0], n_frames, -1)
+    zi = jnp.imag(z).reshape(x.shape[0], n_frames, -1)
+    if mode == 'complex':
+        srt = jnp.sqrt(scale)
+        # (b, bins, frames): scipy's f-by-t orientation
+        return (jnp.swapaxes(zr, 1, 2) * srt, jnp.swapaxes(zi, 1, 2) * srt)
+    if mode == 'magnitude':
+        mag = jnp.sqrt(zr * zr + zi * zi) * jnp.sqrt(scale)
+        return jnp.swapaxes(mag, 1, 2)
+    pxx = (zr * zr + zi * zi) * scale
+    pxx = pxx.at[:, :, 1:-1].mul(2.0)  # one-sided doubling (psd mode)
+    return jnp.swapaxes(pxx, 1, 2)
+
+
+def psd_spectrogram(
+    x: Tensor,
+    fs: float = 1.0,
+    window=('tukey', 0.25),
+    nperseg: int = 256,
+    noverlap: Optional[int] = None,
+    detrend='constant',
+    scaling: str = 'density',
+    mode: str = 'psd',
+) -> tuple:
+    """scipy.signal.spectrogram semantics: per-segment one-sided spectra
+    with PSD/magnitude/complex scaling, tukey(0.25) default window and
+    ``noverlap = nperseg // 8``. Returns ``(f, t, Sxx)`` with Sxx shaped
+    (bins, n_frames) — frequency by time, scipy's orientation — plus a
+    leading batch dim for (batch, n) input. (The dsc-native
+    :func:`~dsc_tpu.models.spectrogram` is the log-power STFT pipeline;
+    this is the scipy-parity estimator.)"""
+    if mode not in ('psd', 'magnitude', 'complex'):
+        raise RuntimeError(f'psd_spectrogram: unknown mode {mode!r}')
+    if noverlap is None:
+        noverlap = nperseg // 8
+    n, hop, n_frames, detrend = _psd_args(
+        x, 'psd_spectrogram', nperseg, noverlap, scaling, detrend
+    )
+    win = _spectral_window(window, nperseg)
+    scale = _psd_scale(win, fs, scaling)
+    batched = x.n_dim == 2
+    spec, tables = fft_plan.get_plan(nperseg, 'real', np.complex64)
+    xj = x.jax if batched else x.jax[None, :]
+    with tracing.trace_op(
+        'psd_spectrogram', 'op;pipeline', tracing.tensor_args(x=x)
+    ) as tr:
+        out = _specgram_program(
+            xj.astype(jnp.float32), jnp.asarray(win), tables,
+            np.float32(scale), nperseg, hop, n_frames, spec, detrend, mode,
+        )
+        if tr:
+            tr.result = out[0] if mode == 'complex' else out
+    from .. import fourier as _fourier
+
+    f = _fourier.rfftfreq(nperseg, d=1.0 / fs)
+    t_np = (np.arange(n_frames) * hop + nperseg / 2.0) / fs
+    t = Tensor._from_jax(jnp.asarray(t_np.astype(np.float32)))
+    if mode == 'complex':
+        from ..planar import Planar
+
+        re, im = out
+        if not batched:
+            re, im = re[0], im[0]
+        return f, t, Tensor._from_planar(Planar(re, im, tuple(re.shape)))
+    return f, t, Tensor._from_jax(out if batched else out[0])
 
 
 def periodogram(

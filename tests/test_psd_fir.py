@@ -90,6 +90,36 @@ def test_welch_rejects_bad_args():
         welch(x, nperseg=256, scaling='nope')
 
 
+@pytest.mark.parametrize('kw', [
+    dict(), dict(nperseg=512, noverlap=256), dict(scaling='spectrum'),
+    dict(mode='magnitude'), dict(window='hann', nperseg=128),
+])
+def test_psd_spectrogram_matches_scipy(kw):
+    from dsc_tpu.models import psd_spectrogram
+
+    x = _sig(8192, seed=30)
+    f, t, S = psd_spectrogram(dsc.from_numpy(x), fs=100.0, **kw)
+    f_ref, t_ref, s_ref = sps.spectrogram(x, fs=100.0, **kw)
+    assert S.shape == s_ref.shape
+    assert np.allclose(f.numpy(), f_ref)
+    assert np.allclose(t.numpy(), t_ref.astype(np.float32))
+    assert np.abs(S.numpy() - s_ref).max() < 5e-4 * s_ref.max()
+
+
+def test_psd_spectrogram_complex_and_batched():
+    from dsc_tpu.models import psd_spectrogram
+
+    x = _sig(8192, seed=31)
+    _, _, Z = psd_spectrogram(dsc.from_numpy(x), mode='complex', nperseg=256)
+    _, _, z_ref = sps.spectrogram(x, mode='complex', nperseg=256)
+    assert np.abs(Z.numpy() - z_ref).max() < 5e-4 * np.abs(z_ref).max()
+    xb = np.stack([x[:4096], x[4096:]])
+    _, _, S = psd_spectrogram(dsc.from_numpy(xb))
+    _, _, s_ref = sps.spectrogram(xb, axis=-1)
+    assert S.shape == s_ref.shape
+    assert np.abs(S.numpy() - s_ref).max() < 5e-4 * s_ref.max()
+
+
 def test_periodogram_matches_scipy():
     x = _sig(4096, seed=5)
     f, pxx = periodogram(dsc.from_numpy(x), fs=100.0)
