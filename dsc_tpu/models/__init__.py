@@ -9,7 +9,13 @@ set.
 """
 
 from .czt import CZT, czt, zoom_fft
-from .filter_fft import FilterFFT, correlate, fft_convolve, fft_convolve2
+from .filter_fft import (
+    FilterFFT,
+    correlate,
+    correlate2d,
+    fft_convolve,
+    fft_convolve2,
+)
 from .fir import (
     firwin,
     firwin2,
@@ -24,12 +30,15 @@ from .iir import (
     cheby1,
     cheby2,
     decimate,
+    filtfilt,
     freqz,
     group_delay,
     lfilter,
+    sos2tf,
     sosfilt,
     sosfiltfilt,
     sosfreqz,
+    tf2sos,
 )
 from .nonlinear import medfilt, wiener
 from .ola import OverlapSave, overlap_save_convolve
@@ -50,6 +59,7 @@ __all__ = [
     'fft_convolve',
     'fft_convolve2',
     'correlate',
+    'correlate2d',
     'OverlapSave',
     'overlap_save_convolve',
     'STFT',
@@ -80,6 +90,9 @@ __all__ = [
     'lfilter',
     'sosfilt',
     'sosfiltfilt',
+    'filtfilt',
+    'tf2sos',
+    'sos2tf',
     'sosfreqz',
     'freqz',
     'group_delay',

@@ -80,6 +80,15 @@ def fft_convolve2(a: Tensor, k: Tensor, mode: str = 'full') -> Tensor:
     raise RuntimeError(f'unknown convolution mode {mode!r}')
 
 
+def correlate2d(a: Tensor, k: Tensor, mode: str = 'full') -> Tensor:
+    """2-D cross-correlation (scipy.signal.correlate2d semantics for
+    real inputs, boundary='fill'): convolution with the doubly-flipped
+    kernel via :func:`fft_convolve2`."""
+    if k.n_dim != 2:
+        raise RuntimeError(f'correlate2d: expected a 2-D kernel, got {k.n_dim}-D')
+    return fft_convolve2(a, k[::-1, ::-1], mode=mode)
+
+
 def correlate(a: Tensor, v: Tensor, mode: str = 'valid') -> Tensor:
     """1-D cross-correlation via the frequency domain (np.correlate
     semantics: ``c[k] = sum_n a[n+k] v[n]``, modes 'valid' (default) /

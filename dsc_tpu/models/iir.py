@@ -284,6 +284,57 @@ def sosfreqz(sos, worN: int = 512, fs: float = 2.0 * np.pi):
     return w, h
 
 
+def tf2sos(b, a) -> np.ndarray:
+    """Transfer-function -> second-order sections via root factoring
+    (np.roots + the conjugate-pairing of zpk2sos). The realized transfer
+    function equals ``b/a``; section pairing may differ from scipy's
+    (behavior-identical)."""
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    if a.size == 0 or a[0] == 0.0:
+        raise RuntimeError('tf2sos: a[0] must be nonzero')
+    bn, an = b / a[0], a / a[0]
+    # strip leading numerator zeros (scipy normalize()); an all-zero b
+    # is the zero system
+    nz = np.nonzero(bn)[0]
+    if nz.size == 0:
+        return np.array([[0.0, 0.0, 0.0, 1.0, 0.0, 0.0]])
+    bn = bn[nz[0]:]
+    k = bn[0]
+    z = np.roots(bn / k) if bn.size > 1 else np.array([], complex)
+    p = np.roots(an) if an.size > 1 else np.array([], complex)
+    # balance degrees: the shorter side pads roots at the origin
+    if len(z) < len(p):
+        z = np.concatenate([z, np.zeros(len(p) - len(z))])
+    elif len(z) > len(p):
+        p = np.concatenate([p, np.zeros(len(z) - len(p))])
+    return _zpk2sos(z, p, k)
+
+
+def sos2tf(sos) -> tuple:
+    """Second-order sections -> (b, a) polynomial form
+    (scipy.signal.sos2tf semantics)."""
+    sos = _check_sos(sos)
+    b, a = np.ones(1), np.ones(1)
+    for row in sos:
+        b = np.convolve(b, row[:3])
+        a = np.convolve(a, row[3:])
+    return b, a
+
+
+def filtfilt(b, a, x: Tensor, padlen: Optional[int] = None,
+             method: str = 'parallel') -> Tensor:
+    """Zero-phase forward-backward filtering in (b, a) form
+    (scipy.signal.filtfilt semantics: odd extension, default
+    ``padlen = 3 * max(len(a), len(b))``), executed through the sos
+    cascade of the factored transfer function."""
+    bb = np.atleast_1d(np.asarray(b, np.float64))
+    aa = np.atleast_1d(np.asarray(a, np.float64))
+    if padlen is None:
+        padlen = 3 * max(len(aa), len(bb))
+    return sosfiltfilt(tf2sos(bb, aa), x, padlen=padlen, method=method)
+
+
 def group_delay(system, worN: int = 512, fs: float = 2.0 * np.pi):
     """Group delay -d(phase)/d(omega) of a rational filter ``(b, a)``
     in samples (scipy.signal.group_delay semantics), via the exact

@@ -18,9 +18,11 @@ from dsc_tpu.models import (
     decimate,
     freqz,
     lfilter,
+    sos2tf,
     sosfilt,
     sosfiltfilt,
     sosfreqz,
+    tf2sos,
 )
 
 
@@ -226,6 +228,57 @@ def test_lfilter_zi_streaming():
     y2, _ = lfilter(b, a, dsc.from_numpy(x[512:]), zi=zf.numpy())
     yone = lfilter(b, a, dsc.from_numpy(x)).numpy()
     assert np.abs(np.concatenate([y1.numpy(), y2.numpy()]) - yone).max() < 1e-5
+
+
+# ------------------------------------------- tf2sos / sos2tf / filtfilt
+
+def test_tf2sos_roundtrip_preserves_response():
+    w = np.linspace(1e-3, np.pi - 1e-3, 101)
+    z = np.exp(-1j * w)
+    for b, a in [sps.butter(5, 0.3), sps.cheby1(4, 1.0, 0.4),
+                 (sps.firwin(7, 0.3), [1.0])]:
+        b2, a2 = sos2tf(tf2sos(b, a))
+        h1 = (np.polyval(np.atleast_1d(b)[::-1], z)
+              / np.polyval(np.atleast_1d(a)[::-1], z))
+        h2 = np.polyval(b2[::-1], z) / np.polyval(a2[::-1], z)
+        assert np.abs(h1 - h2).max() < 1e-10
+
+
+def test_tf2sos_leading_zero_matches_scipy_behavior():
+    # scipy strips leading numerator zeros (dropping the pure delay);
+    # we pin the SAME behavior, not the original transfer function
+    import warnings
+
+    b, a = [0.0, 0.5, 0.25], [1.0, -0.3]
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        ref_b, ref_a = sps.sos2tf(sps.tf2sos(b, a))
+    got_b, got_a = sos2tf(tf2sos(b, a))
+    w = np.linspace(1e-3, np.pi - 1e-3, 33)
+    z = np.exp(-1j * w)
+    h_ref = np.polyval(ref_b[::-1], z) / np.polyval(ref_a[::-1], z)
+    h_got = np.polyval(got_b[::-1], z) / np.polyval(got_a[::-1], z)
+    assert np.abs(h_got - h_ref).max() < 1e-12
+
+
+def test_filtfilt_ba_matches_scipy():
+    from dsc_tpu.models import filtfilt
+
+    x = _sig(2048, seed=21)
+    b, a = sps.butter(4, 0.3)
+    got = filtfilt(b, a, dsc.from_numpy(x)).numpy()
+    ref = sps.filtfilt(b, a, x.astype(np.float64))
+    assert np.abs(got - ref).max() < 2e-4 * np.abs(ref).max()
+
+
+def test_filtfilt_fir_taps():
+    from dsc_tpu.models import filtfilt
+
+    x = _sig(1024, seed=22)
+    taps = sps.firwin(21, 0.4)
+    got = filtfilt(taps, [1.0], dsc.from_numpy(x)).numpy()
+    ref = sps.filtfilt(taps, [1.0], x.astype(np.float64))
+    assert np.abs(got - ref).max() < 2e-4 * max(np.abs(ref).max(), 1e-6)
 
 
 # ----------------------------------------------------------------- fuzz

@@ -308,6 +308,19 @@ def test_correlate_matches_numpy(mode, n, k):
     assert np.abs(got - ref).max() < 1e-4 * max(np.abs(ref).max(), 1.0)
 
 
+@pytest.mark.parametrize('mode', ['full', 'same', 'valid'])
+def test_correlate2d_matches_scipy(mode):
+    from dsc_tpu.models import correlate2d
+
+    rng = np.random.default_rng(40)
+    a = rng.standard_normal((40, 50)).astype(np.float32)
+    k = rng.standard_normal((5, 7)).astype(np.float32)
+    got = correlate2d(dsc.from_numpy(a), dsc.from_numpy(k), mode=mode)
+    ref = sps.correlate2d(a, k, mode=mode)
+    assert got.shape == ref.shape
+    assert np.abs(got.numpy() - ref).max() < 1e-3 * np.abs(ref).max()
+
+
 def test_correlate_peak_finds_delay():
     from dsc_tpu.models import correlate
 
