@@ -34,6 +34,8 @@ from .iir import (
     freqz,
     group_delay,
     lfilter,
+    lfilter_zi,
+    sosfilt_zi,
     sos2tf,
     sosfilt,
     sosfiltfilt,
@@ -50,7 +52,7 @@ from .psd import (
     psd_spectrogram,
     welch,
 )
-from .spectral import hilbert, resample, resample_poly
+from .spectral import hilbert, resample, resample_poly, upfirdn
 from .stft import ISTFT, STFT, spectrogram
 from .waveforms import chirp, gausspulse, sawtooth, square
 
@@ -67,6 +69,7 @@ __all__ = [
     'spectrogram',
     'resample',
     'resample_poly',
+    'upfirdn',
     'hilbert',
     'detrend',
     'medfilt',
@@ -91,6 +94,8 @@ __all__ = [
     'sosfilt',
     'sosfiltfilt',
     'filtfilt',
+    'lfilter_zi',
+    'sosfilt_zi',
     'tf2sos',
     'sos2tf',
     'sosfreqz',

@@ -210,6 +210,22 @@ def _sos_zi_unit(sos: np.ndarray) -> np.ndarray:
     return zi
 
 
+def lfilter_zi(b, a) -> np.ndarray:
+    """Initial state for a step-response steady start
+    (scipy.signal.lfilter_zi semantics): the transposed direct-form II
+    state fixed point s* = (I - A)^-1 c. Host f64."""
+    bb, aa, _ = _norm_ba(b, a, 'lfilter_zi')
+    A, c = _tdf2_matrices(bb, aa)
+    return np.linalg.solve(np.eye(A.shape[0]) - A, c)
+
+
+def sosfilt_zi(sos) -> np.ndarray:
+    """Per-section steady-start state (scipy.signal.sosfilt_zi
+    semantics): each section's fixed point scaled by the cumulative DC
+    gain of the sections before it. Host f64, shape (n_sections, 2)."""
+    return _sos_zi_unit(_check_sos(sos))
+
+
 def sosfiltfilt(sos, x: Tensor, padlen: Optional[int] = None,
                 method: str = 'parallel') -> Tensor:
     """Zero-phase forward-backward filtering

@@ -120,6 +120,70 @@ def _resample_poly_program(x, h, tables, up, down, n_out, spec, fft_n, hl):
     return conv[:, hl : hl + (n_out - 1) * down + 1 : down]
 
 
+@partial(
+    jax.jit,
+    static_argnames=('up', 'down', 'n_out', 'spec', 'fft_n'),
+)
+def _upfirdn_program(x, h, tables, up, down, n_out, spec, fft_n):
+    b, n = x.shape
+    if up > 1:
+        xu = jnp.concatenate(
+            [x[:, :, None], jnp.zeros((b, n, up - 1), x.dtype)], axis=2
+        ).reshape(b, n * up)[:, : (n - 1) * up + 1]
+    else:
+        xu = x
+    xr, xi = fft_core.rfft_batched_p(
+        jnp.pad(xu, ((0, 0), (0, fft_n - xu.shape[1]))), spec, tables, fft_n
+    )
+    hr, hi = fft_core.rfft_batched_p(
+        jnp.pad(h[None, :], ((0, 0), (0, fft_n - h.shape[0]))), spec,
+        tables, fft_n,
+    )
+    conv = fft_core.irfft_batched_p(
+        xr * hr - xi * hi, xr * hi + xi * hr, spec, tables, fft_n
+    )
+    return conv[:, : (n_out - 1) * down + 1 : down]
+
+
+def upfirdn(h, x: Tensor, up: int = 1, down: int = 1) -> Tensor:
+    """Upsample by ``up``, FIR filter with ``h``, downsample by ``down``
+    (scipy.signal.upfirdn semantics, incl. the full-convolution output
+    length ceil(((n-1)*up + len(h)) / down)) — computed as one
+    batched planar-FFT program, like :func:`resample_poly`."""
+    if up < 1 or down < 1:
+        raise RuntimeError(
+            f'upfirdn: up ({up}) and down ({down}) must be >= 1'
+        )
+    if x.n_dim > 2:
+        raise RuntimeError(
+            f'upfirdn: expected a 1-D or 2-D signal, got {x.n_dim}-D'
+        )
+    if x.dtype.is_complex:
+        raise RuntimeError('upfirdn expects a real signal')
+    h_np = np.asarray(
+        h.numpy() if isinstance(h, Tensor) else h, np.float32
+    )
+    if h_np.ndim != 1 or h_np.size == 0:
+        raise RuntimeError('upfirdn: h must be a nonempty 1-D filter')
+    n = x.shape[-1]
+    full = (n - 1) * up + len(h_np)
+    n_out = -(-full // down)
+    fft_n = fft_plan.next_pow2(full)
+    spec, tables = fft_plan.get_plan(fft_n, 'real', np.complex64)
+    batched = x.n_dim == 2
+    xj = x.jax if batched else x.jax[None, :]
+    with tracing.trace_op(
+        'upfirdn', 'op;pipeline', tracing.tensor_args(x=x)
+    ) as tr:
+        out = _upfirdn_program(
+            xj.astype(jnp.float32), jnp.asarray(h_np), tables, int(up),
+            int(down), n_out, spec, fft_n,
+        )
+        if tr:
+            tr.result = out
+    return Tensor._from_jax(out if batched else out[0])
+
+
 def resample_poly(x: Tensor, up: int, down: int,
                   window=('kaiser', 5.0)) -> Tensor:
     """Polyphase rational-rate resampling

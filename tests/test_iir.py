@@ -230,6 +230,46 @@ def test_lfilter_zi_streaming():
     assert np.abs(np.concatenate([y1.numpy(), y2.numpy()]) - yone).max() < 1e-5
 
 
+def test_zi_helpers_match_scipy():
+    from dsc_tpu.models import lfilter_zi, sosfilt_zi
+
+    b, a = sps.butter(4, 0.3)
+    assert np.abs(lfilter_zi(b, a) - sps.lfilter_zi(b, a)).max() < 1e-12
+    sos = sps.butter(5, 0.25, output='sos')
+    assert np.abs(sosfilt_zi(sos) - sps.sosfilt_zi(sos)).max() < 1e-12
+    # steady start: a constant input passes through with no transient
+    x = np.ones(64, np.float32)
+    y, _ = sosfilt(sos, dsc.from_numpy(x),
+                   zi=sosfilt_zi(sos).astype(np.float32))
+    assert np.abs(y.numpy() - 1.0).max() < 1e-5  # DC gain 1 lowpass
+
+
+@pytest.mark.parametrize('up,down', [(1, 1), (3, 1), (1, 4), (3, 2), (7, 5)])
+def test_upfirdn_matches_scipy(up, down):
+    from dsc_tpu.models import upfirdn
+
+    rng = np.random.default_rng(up * 10 + down)
+    x = rng.standard_normal(777).astype(np.float32)
+    h = rng.standard_normal(31).astype(np.float32)
+    got = upfirdn(h, dsc.from_numpy(x), up, down).numpy()
+    ref = sps.upfirdn(h.astype(np.float64), x.astype(np.float64), up, down)
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 1e-4 * np.abs(ref).max()
+
+
+def test_upfirdn_batched():
+    from dsc_tpu.models import upfirdn
+
+    rng = np.random.default_rng(50)
+    xs = rng.standard_normal((2, 300)).astype(np.float32)
+    h = rng.standard_normal(9).astype(np.float32)
+    got = upfirdn(h, dsc.from_numpy(xs), 2, 3).numpy()
+    ref = sps.upfirdn(h.astype(np.float64), xs.astype(np.float64), 2, 3,
+                      axis=-1)
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 1e-4 * np.abs(ref).max()
+
+
 # ------------------------------------------- tf2sos / sos2tf / filtfilt
 
 def test_tf2sos_roundtrip_preserves_response():
