@@ -44,6 +44,7 @@ from .iir import (
 )
 from .nonlinear import medfilt, wiener
 from .ola import OverlapSave, overlap_save_convolve
+from .remez import remez
 from .psd import (
     coherence,
     csd,
@@ -81,6 +82,7 @@ __all__ = [
     'psd_spectrogram',
     'firwin',
     'firwin2',
+    'remez',
     'kaiserord',
     'kaiser_beta',
     'kaiser_atten',

@@ -467,6 +467,51 @@ def test_firwin2_rejects_bad_args():
         firwin2(65, [0.0, 0.5, 0.4, 1.0], [1, 1, 0, 0])  # non-monotone
 
 
+# ---------------------------------------------------------------- remez
+
+def _ripple(taps, bands, desired, weight):
+    w = np.linspace(0, 0.5, 4001)
+    h = np.abs(np.polyval(taps[::-1], np.exp(-2j * np.pi * w))
+               * np.exp(1j * np.pi * w * (len(taps) - 1)))
+    e = 0.0
+    for i in range(len(desired)):
+        m = (w >= bands[2 * i]) & (w <= bands[2 * i + 1])
+        e = max(e, (np.abs(h[m] - desired[i]) * weight[i]).max())
+    return e
+
+
+@pytest.mark.parametrize('numtaps,bands,desired,weight', [
+    (73, [0, 0.2, 0.25, 0.5], [1, 0], [1, 1]),
+    (65, [0, 0.1, 0.15, 0.35, 0.4, 0.5], [0, 1, 0], [1, 1, 1]),
+    (64, [0, 0.2, 0.3, 0.5], [1, 0], [1, 2]),   # even taps (type II)
+    (31, [0, 0.15, 0.2, 0.5], [1, 0], [1, 10]),
+])
+def test_remez_matches_scipy(numtaps, bands, desired, weight):
+    from dsc_tpu.models import remez
+
+    got = remez(numtaps, bands, desired, weight=weight).numpy()
+    ref = sps.remez(numtaps, bands, desired, weight=weight, fs=1.0)
+    assert np.abs(got - ref).max() < 1e-4
+    # equiripple optimality: our achieved ripple within 1% of scipy's
+    e_got = _ripple(got.astype(np.float64), bands, desired, weight)
+    e_ref = _ripple(ref, bands, desired, weight)
+    assert e_got < e_ref * 1.01 + 1e-9
+
+
+def test_remez_fs_units_and_errors():
+    from dsc_tpu.models import remez
+
+    got = remez(51, [0, 200, 250, 500], [1, 0], fs=1000.0).numpy()
+    ref = sps.remez(51, [0, 200, 250, 500], [1, 0], fs=1000.0)
+    assert np.abs(got - ref).max() < 1e-4
+    with pytest.raises(RuntimeError):
+        remez(51, [0, 0.2, 0.25], [1, 0])  # odd edge count
+    with pytest.raises(RuntimeError):
+        remez(51, [0, 0.2, 0.25, 0.5], [1])  # desired size mismatch
+    with pytest.raises(RuntimeError):
+        remez(64, [0, 0.2, 0.25, 0.5], [1, 1])  # even taps, Nyquist gain
+
+
 # --------------------------------------------------------------- savgol
 
 def test_savgol_coeffs_exact():
