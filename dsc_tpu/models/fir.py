@@ -22,13 +22,15 @@ import numpy as np
 from ..dtype import Dtype
 from ..tensor import Tensor, arange, cos, from_numpy, ones, sinc
 from ..tensor import sum as dsc_sum
-from ..windows import blackman, hamming, hanning, kaiser
+from ..windows import blackman, design_window, hamming, hanning, kaiser
 
 
 def _design_window(window, numtaps: int, dtype: Dtype) -> Tensor:
     """Window spec -> dsc Tensor of length numtaps, generated on device
-    for the named windows. Accepts 'hamming'/'hann'/'hanning'/'blackman'/
-    'rect'/None, ('kaiser', beta), a Tensor, or any array-like."""
+    for the common named windows and via ``windows.design_window``
+    (scipy.signal.get_window names, SYMMETRIC variant — the firwin
+    convention) for the rest. Accepts names, (name, *params) tuples,
+    None/'rect', a Tensor, or any array-like."""
     if isinstance(window, Tensor):
         win = window
     elif window is None or window in ('rect', 'boxcar'):
@@ -38,11 +40,17 @@ def _design_window(window, numtaps: int, dtype: Dtype) -> Tensor:
             'hamming': hamming, 'hann': hanning, 'hanning': hanning,
             'blackman': blackman,
         }.get(window)
-        if maker is None:
-            raise RuntimeError(f'firwin: unknown window {window!r}')
-        win = maker(numtaps, dtype=dtype)
+        if maker is not None:
+            win = maker(numtaps, dtype=dtype)
+        else:
+            win = from_numpy(
+                design_window(window, numtaps,
+                              fftbins=False).astype(np.float32))
     elif isinstance(window, tuple) and len(window) == 2 and window[0] == 'kaiser':
         win = kaiser(numtaps, window[1], dtype=dtype)
+    elif isinstance(window, tuple) and window and isinstance(window[0], str):
+        win = from_numpy(
+            design_window(window, numtaps, fftbins=False).astype(np.float32))
     else:
         win = from_numpy(np.asarray(window, dtype=np.float32))
     if win.shape != (numtaps,):

@@ -28,46 +28,25 @@ from .. import tracing
 from ..fourier import core as fft_core
 from ..fourier import plan as fft_plan
 from ..tensor import Tensor
+from ..windows import design_window
 from .stft import _frame_dense, _make_window
-
-
-def _np_tukey(n: int, alpha: float) -> np.ndarray:
-    """Symmetric tapered-cosine window, host f64 (scipy.signal.windows
-    .tukey(sym=True) formula — numpy has no tukey)."""
-    if alpha <= 0 or n == 1:
-        return np.ones(n)
-    k = np.arange(n, dtype=np.float64)
-    edge = alpha * (n - 1) / 2.0
-    w = np.ones(n)
-    lo = k < edge
-    hi = k > n - 1 - edge
-    w[lo] = 0.5 * (1.0 + np.cos(np.pi * (k[lo] / edge - 1.0)))
-    w[hi] = 0.5 * (1.0 + np.cos(np.pi * (k[hi] - (n - 1 - edge)) / edge))
-    return w
 
 
 def _spectral_window(window, nperseg: int) -> np.ndarray:
     """Window spec -> f32 host array under scipy.signal's PSD convention:
     named windows are PERIODIC (``get_window(..., fftbins=True)``), i.e.
     the length-(n+1) symmetric window with the last sample dropped — not
-    the symmetric np.* forms the STFT models use. Accepts names,
-    ('tukey', alpha) / ('kaiser', beta) tuples, Tensors and array-likes
-    (the latter two pass through as given)."""
-    if isinstance(window, str):
-        maker = {
-            'hann': np.hanning, 'hamming': np.hamming,
-            'blackman': np.blackman, 'bartlett': np.bartlett,
-        }.get(window)
-        if maker is None:
-            raise RuntimeError(f'unknown window {window!r}')
-        return maker(nperseg + 1)[:-1].astype(np.float32)
-    if isinstance(window, tuple) and len(window) == 2:
-        kind, param = window
-        if kind == 'tukey':
-            return _np_tukey(nperseg + 1, float(param))[:-1].astype(np.float32)
-        if kind == 'kaiser':
-            return np.kaiser(nperseg + 1, float(param))[:-1].astype(np.float32)
-        raise RuntimeError(f'unknown window {window!r}')
+    the symmetric np.* forms the STFT models use. Accepts every
+    scipy.signal.get_window name / (name, *params) tuple / bare kaiser
+    beta via ``dsc_tpu.windows.design_window``; Tensors and array-likes
+    pass through as given."""
+    if isinstance(window, str) or (
+        isinstance(window, tuple) and window
+        and isinstance(window[0], str)
+    ) or (isinstance(window, (int, float))
+          and not isinstance(window, bool)):
+        return design_window(window, nperseg,
+                             fftbins=True).astype(np.float32)
     return _make_window(window, nperseg)
 
 

@@ -23,8 +23,10 @@ from ..tensor import Tensor
 
 def _make_window(window, frame: int) -> np.ndarray:
     """Window spec -> f32 host array. Accepts a name ('hann', 'hamming',
-    'blackman', 'rect'/None), a dsc Tensor (e.g. dsc.kaiser(frame, beta)),
-    or any array-like of length ``frame``."""
+    'blackman', 'rect'/None — SYMMETRIC np.* convention; any other
+    scipy.signal.get_window name or (name, *params) tuple resolves via
+    ``windows.design_window`` symmetric), a dsc Tensor (e.g.
+    dsc.kaiser(frame, beta)), or any array-like of length ``frame``."""
     if isinstance(window, Tensor):
         win = window.numpy()
     elif window == 'hann':
@@ -35,8 +37,12 @@ def _make_window(window, frame: int) -> np.ndarray:
         win = np.blackman(frame)
     elif window is None or (isinstance(window, str) and window == 'rect'):
         win = np.ones(frame)
-    elif isinstance(window, str):
-        raise RuntimeError(f'unknown window {window!r}')
+    elif isinstance(window, str) or (
+        isinstance(window, tuple) and window
+        and isinstance(window[0], str)
+    ):
+        from ..windows import design_window
+        win = design_window(window, frame, fftbins=False)
     else:
         win = np.asarray(window)
     win = np.asarray(win, dtype=np.float32)
