@@ -400,6 +400,36 @@ def main() -> int:
     back2d = dsc.irfft2(z2)
     ok &= check('irfft2 roundtrip', np.abs(back2d.numpy() - x2d).max(), 1e-4)
 
+    # scipy window tier + the estimators built on it (round 3)
+    import scipy.signal as sps
+
+    wcb = dsc.get_window(('chebwin', 90.0), 256)
+    ok &= check('get_window chebwin upload',
+                np.abs(wcb.numpy() - sps.get_window(('chebwin', 90.0),
+                                                    256)).max(), 1e-5)
+    from dsc_tpu.models import lombscargle, multitaper, welch as m_welch
+
+    xw = rng.standard_normal(4096).astype(np.float32)
+    _, pw = m_welch(dsc.from_numpy(xw), fs=1000.0, window='flattop',
+                    nperseg=512)
+    _, pwr = sps.welch(xw.astype(np.float64), fs=1000.0, window='flattop',
+                       nperseg=512)
+    ok &= check('welch flattop window',
+                np.abs(pw.numpy() - pwr).max() / pwr.max(), 2e-4)
+    xmt = (np.sin(2 * np.pi * 60.0 * np.arange(2048) / 1000.0)
+           + 0.5 * rng.standard_normal(2048)).astype(np.float32)
+    fmt, pmt = multitaper(dsc.from_numpy(xmt), fs=1000.0, nw=4.0)
+    pk = float(fmt.numpy()[np.argmax(pmt.numpy())])
+    ok &= check('multitaper adaptive peak at 60 Hz', abs(pk - 60.0), 2.0)
+    tls = np.sort(rng.uniform(0, 10, 512))
+    yls = np.cos(2 * np.pi * 3.0 * tls) + 0.4 * rng.standard_normal(512)
+    fls = np.linspace(0.5, 40.0, 640) * 2 * np.pi
+    gls = lombscargle(dsc.from_numpy(tls), dsc.from_numpy(yls),
+                      dsc.from_numpy(fls)).numpy()
+    rls = sps.lombscargle(tls, yls, fls)
+    ok &= check('lombscargle (f64 phase on device)',
+                np.abs(gls - rls).max() / np.abs(rls).max(), 1e-5)
+
     with open(RESULTS_PATH, 'w') as f:
         json.dump({'ok': bool(ok), 'n_checks': len(rows),
                    'backend': backend,

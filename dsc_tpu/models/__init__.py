@@ -42,6 +42,7 @@ from .iir import (
     sosfreqz,
     tf2sos,
 )
+from .multitaper import lombscargle, multitaper
 from .nonlinear import medfilt, wiener
 from .ola import OverlapSave, overlap_save_convolve
 from .remez import remez
@@ -80,6 +81,8 @@ __all__ = [
     'csd',
     'coherence',
     'psd_spectrogram',
+    'multitaper',
+    'lombscargle',
     'firwin',
     'firwin2',
     'remez',
