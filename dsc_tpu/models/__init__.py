@@ -42,6 +42,18 @@ from .iir import (
     sosfreqz,
     tf2sos,
 )
+from .iirdesign import (
+    bessel,
+    buttord,
+    cheb1ord,
+    cheb2ord,
+    ellip,
+    ellipord,
+    iircomb,
+    iirfilter,
+    iirnotch,
+    iirpeak,
+)
 from .multitaper import lombscargle, multitaper
 from .nonlinear import medfilt, wiener
 from .ola import OverlapSave, overlap_save_convolve
@@ -94,6 +106,16 @@ __all__ = [
     'butter',
     'cheby1',
     'cheby2',
+    'ellip',
+    'bessel',
+    'iirfilter',
+    'buttord',
+    'cheb1ord',
+    'cheb2ord',
+    'ellipord',
+    'iirnotch',
+    'iirpeak',
+    'iircomb',
     'decimate',
     'lfilter',
     'sosfilt',
