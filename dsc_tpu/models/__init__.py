@@ -54,6 +54,16 @@ from .iirdesign import (
     iirnotch,
     iirpeak,
 )
+from .lti import (
+    bilinear,
+    deconvolve,
+    normalize,
+    sos2zpk,
+    tf2zpk,
+    unit_impulse,
+    zpk2sos,
+    zpk2tf,
+)
 from .multitaper import lombscargle, multitaper
 from .nonlinear import medfilt, wiener
 from .ola import OverlapSave, overlap_save_convolve
@@ -125,6 +135,14 @@ __all__ = [
     'sosfilt_zi',
     'tf2sos',
     'sos2tf',
+    'tf2zpk',
+    'zpk2tf',
+    'sos2zpk',
+    'zpk2sos',
+    'normalize',
+    'bilinear',
+    'deconvolve',
+    'unit_impulse',
     'sosfreqz',
     'freqz',
     'group_delay',
