@@ -65,6 +65,14 @@ from .lti import (
     zpk2tf,
 )
 from .multitaper import lombscargle, multitaper
+from .peaks import (
+    argrelextrema,
+    argrelmax,
+    argrelmin,
+    find_peaks,
+    peak_prominences,
+    peak_widths,
+)
 from .nonlinear import medfilt, wiener
 from .ola import OverlapSave, overlap_save_convolve
 from .remez import remez
@@ -105,6 +113,12 @@ __all__ = [
     'psd_spectrogram',
     'multitaper',
     'lombscargle',
+    'find_peaks',
+    'peak_prominences',
+    'peak_widths',
+    'argrelextrema',
+    'argrelmax',
+    'argrelmin',
     'firwin',
     'firwin2',
     'remez',
