@@ -22,6 +22,7 @@ from .fir import (
     kaiser_atten,
     kaiser_beta,
     kaiserord,
+    minimum_phase,
     savgol_coeffs,
     savgol_filter,
 )
@@ -86,7 +87,15 @@ from .psd import (
 )
 from .spectral import hilbert, resample, resample_poly, upfirdn
 from .stft import ISTFT, STFT, spectrogram
-from .waveforms import chirp, gausspulse, sawtooth, square
+from .waveforms import (
+    chirp,
+    gausspulse,
+    max_len_seq,
+    sawtooth,
+    square,
+    sweep_poly,
+    vectorstrength,
+)
 
 __all__ = [
     'FilterFFT',
@@ -167,4 +176,8 @@ __all__ = [
     'square',
     'sawtooth',
     'gausspulse',
+    'sweep_poly',
+    'max_len_seq',
+    'vectorstrength',
+    'minimum_phase',
 ]

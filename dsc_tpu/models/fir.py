@@ -297,3 +297,69 @@ def savgol_filter(x: Tensor, window_length: int, polyorder: int,
     else:
         out = mid
     return Tensor._from_jax(out if batched else out[0])
+
+
+def minimum_phase(h, method: str = 'homomorphic', n_fft=None,
+                  half: bool = True) -> np.ndarray:
+    """Minimum-phase version of a linear-phase FIR filter
+    (scipy.signal.minimum_phase semantics). ``method='homomorphic'``
+    (cepstral: fold the log-magnitude cepstrum onto the causal side,
+    exponentiate) returns ``(len(h)+1)//2`` taps whose magnitude
+    response approximates the square root of h's when ``half`` (the
+    default), or ``len(h)`` taps matching it when ``half=False``.
+    ``method='hilbert'`` is the discrete Hilbert-transform construction
+    for exactly linear-phase (odd-length symmetric) filters. Host f64
+    design math, like the rest of the design tier."""
+    h = np.atleast_1d(np.asarray(h, np.float64))
+    if h.ndim != 1 or h.size < 2:
+        raise RuntimeError('minimum_phase: h must be 1-D with >= 2 taps')
+    if np.iscomplexobj(h):
+        raise RuntimeError('minimum_phase: complex filters not supported')
+    if method not in ('homomorphic', 'hilbert'):
+        raise RuntimeError(f'minimum_phase: unknown method {method!r}')
+    n_half = h.size // 2
+    if n_fft is None:
+        n_fft = 2 ** int(np.ceil(np.log2(2 * (h.size - 1) / 0.01)))
+    n_fft = int(n_fft)
+    if n_fft < h.size:
+        raise RuntimeError(
+            f'minimum_phase: n_fft ({n_fft}) must be >= len(h) ({h.size})')
+    if method == 'hilbert':
+        if not half:
+            raise RuntimeError(
+                'minimum_phase: the hilbert method is defined only for '
+                'half=True')
+        w = np.arange(n_fft) * (2 * np.pi / n_fft * n_half)
+        hspec = np.real(np.fft.fft(h, n_fft) * np.exp(1j * w))
+        dp = hspec.max() - 1.0
+        ds = 0.0 - hspec.min()
+        s = 4.0 / (np.sqrt(1 + dp + ds) + np.sqrt(1 - dp + ds)) ** 2
+        hspec = np.sqrt((hspec + ds) * s) + 1e-10
+        # modified discrete Hilbert transform: rebuild the minimum-phase
+        # spectrum from the magnitude via the log-cepstrum sign filter
+        sig = np.zeros(n_fft)
+        mid = n_fft // 2
+        sig[1:mid] = 1.0
+        sig[mid + 1:] = -1.0
+        recon = np.fft.ifft(
+            hspec * np.exp(np.fft.fft(
+                sig * np.fft.ifft(np.log(hspec))))).real
+        h_min = recon
+    else:
+        spec = np.abs(np.fft.fft(h, n_fft))
+        spec += 1e-7 * spec[spec > 0].min()  # keep the log finite
+        spec = np.log(spec)
+        if half:
+            spec *= 0.5
+        cep = np.fft.ifft(spec).real
+        # fold the anticausal cepstrum onto the causal side:
+        # l_min[n] = delta[n] + 2u[n-1]
+        win = np.zeros(n_fft)
+        win[0] = 1.0
+        stop = n_fft // 2
+        win[1:stop] = 2.0
+        if n_fft % 2:
+            win[stop] = 1.0
+        h_min = np.fft.ifft(np.exp(np.fft.fft(cep * win))).real
+    n_out = (n_half + h.size % 2) if half else h.size
+    return h_min[:n_out]

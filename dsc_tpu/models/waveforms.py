@@ -126,3 +126,102 @@ def gausspulse(t, fc: float = 1000.0, bw: float = 0.5, bwr: float = -6.0,
     res = _gausspulse_wave(_time_axis(t, 'gausspulse'), np.float64(fc),
                            np.float64(a))
     return _emit('gausspulse', res, dtype)
+
+
+@jax.jit
+def _poly_phase(t, coeffs, phi):
+    # Horner evaluation of the integrated sweep polynomial
+    ph = jnp.zeros_like(t)
+    for c in range(coeffs.shape[0]):
+        ph = ph * t + coeffs[c]
+    return jnp.cos(2.0 * jnp.pi * ph * t + phi)
+
+
+def sweep_poly(t, poly, phi: float = 0.0,
+               dtype: Dtype = Dtype.F32) -> Tensor:
+    """Frequency-swept cosine whose instantaneous frequency follows the
+    polynomial ``poly`` (scipy.signal.sweep_poly semantics: ``poly`` is
+    highest-power-first coefficients or np.poly1d). The phase is the
+    exact polynomial integral, computed in f64 on device."""
+    p = np.poly1d(np.asarray(poly, np.float64))
+    ip = np.polyint(p)  # integral, zero constant term
+    # phase(t) = ip(t) = t * q(t) with q = ip without the constant term
+    q = np.asarray(ip.coeffs[:-1], np.float64)
+    tj = _time_axis(t, 'sweep_poly')
+    res = _poly_phase(tj, jnp.asarray(q),
+                      np.float64(np.deg2rad(phi)))
+    return _emit('sweep_poly', res, dtype)
+
+
+# standard primitive-polynomial tap sets for maximal-length LFSRs
+# (Fibonacci form; the classic published table for nbits 2..32)
+_MLS_TAPS = {
+    2: (1,), 3: (2,), 4: (3,), 5: (3,), 6: (5,), 7: (6,), 8: (7, 6, 1),
+    9: (5,), 10: (7,), 11: (9,), 12: (11, 10, 4), 13: (12, 11, 8),
+    14: (13, 12, 2), 15: (14,), 16: (15, 13, 4), 17: (14,), 18: (11,),
+    19: (18, 17, 14), 20: (17,), 21: (19,), 22: (21,), 23: (18,),
+    24: (23, 22, 17), 25: (22,), 26: (25, 24, 20), 27: (26, 25, 22),
+    28: (25,), 29: (27,), 30: (29, 28, 7), 31: (28,), 32: (31, 30, 10),
+}
+
+
+def max_len_seq(nbits: int, state=None, length=None, taps=None):
+    """Maximal-length (pseudo-random binary) sequence from an nbits-wide
+    Fibonacci LFSR (scipy.signal.max_len_seq semantics). Returns
+    ``(seq, final_state)`` as uint8 host arrays: period 2**nbits - 1,
+    default state all ones. Host integer math — an inherently sequential
+    bit recurrence, the same design-time tier as coefficient design."""
+    if taps is None:
+        if nbits not in _MLS_TAPS:
+            raise RuntimeError(
+                f'max_len_seq: nbits ({nbits}) needs explicit taps '
+                f'(built-in table covers {min(_MLS_TAPS)}..{max(_MLS_TAPS)})')
+        taps = np.array(_MLS_TAPS[nbits], np.intp)
+    else:
+        taps = np.unique(np.asarray(taps, np.intp))[::-1]
+        if np.any(taps < 0) or np.any(taps > nbits) or taps.size == 0:
+            raise RuntimeError('max_len_seq: taps must be in [0, nbits]')
+    n_max = (1 << nbits) - 1
+    if length is None:
+        length = n_max
+    elif length < 0:
+        raise RuntimeError('max_len_seq: length must be >= 0')
+    if state is None:
+        state = np.ones(nbits, np.int8)
+    else:
+        state = (np.asarray(state) != 0).astype(np.int8)
+    if state.size != nbits or not np.any(state):
+        raise RuntimeError(
+            'max_len_seq: state must be nbits long and not all zero')
+    seq = np.empty(int(length), np.int8)
+    idx = 0
+    for i in range(int(length)):
+        fb = state[idx]
+        seq[i] = fb
+        for t_ in taps:
+            fb ^= state[(t_ + idx) % nbits]
+        state[idx] = fb
+        idx = (idx + 1) % nbits
+    return seq, np.roll(state, -idx)
+
+
+def vectorstrength(events, period):
+    """Vector strength (phase locking) of event times to one or more
+    periods (scipy.signal.vectorstrength semantics): the length and
+    angle of the mean unit phasor. Returns (strength, phase)."""
+    events = np.asarray(
+        events.numpy() if isinstance(events, Tensor) else events,
+        np.float64)
+    if events.ndim != 1:
+        raise RuntimeError('vectorstrength: events must be 1-D')
+    periods = np.asarray(period, np.float64)
+    scalar = periods.ndim == 0
+    periods = np.atleast_1d(periods)
+    if np.any(periods <= 0):
+        raise RuntimeError('vectorstrength: periods must be positive')
+    ang = 2.0 * np.pi * events[None, :] / periods[:, None]
+    vec = np.exp(1j * ang).mean(axis=1)
+    strength, phase = np.abs(vec), np.angle(vec)
+    if scalar:
+        return float(strength[0]), float(phase[0])
+    return strength, phase
