@@ -87,6 +87,7 @@ from .psd import (
 )
 from .spectral import hilbert, resample, resample_poly, upfirdn
 from .stft import ISTFT, STFT, spectrogram
+from .stft_scipy import check_COLA, check_NOLA, istft, stft
 from .waveforms import (
     chirp,
     gausspulse,
@@ -108,6 +109,10 @@ __all__ = [
     'STFT',
     'ISTFT',
     'spectrogram',
+    'stft',
+    'istft',
+    'check_COLA',
+    'check_NOLA',
     'resample',
     'resample_poly',
     'upfirdn',
