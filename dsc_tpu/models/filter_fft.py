@@ -21,9 +21,9 @@ from ..tensor import Tensor, from_numpy, mul
 
 
 def fft_convolve(signal: Tensor, taps: Tensor, mode: str = 'full') -> Tensor:
-    """1-D convolution via the frequency domain (np.convolve semantics for
-    mode='full'/'same'). ``signal`` may be (n,) or batched (b, n) with
-    1-D ``taps``."""
+    """1-D convolution via the frequency domain (np.convolve semantics,
+    modes 'full'/'same'/'valid'). ``signal`` may be (n,) or batched
+    (b, n) with 1-D ``taps``."""
     n = signal.shape[-1]
     k = taps.shape[-1]
     out_len = n + k - 1
@@ -43,6 +43,9 @@ def fft_convolve(signal: Tensor, taps: Tensor, mode: str = 'full') -> Tensor:
     if mode == 'same':
         start = (k - 1) // 2
         return crop(start, start + n)
+    if mode == 'valid':
+        lo, hi = (min(n, k) - 1), max(n, k)
+        return crop(lo, hi)
     raise RuntimeError(f'unknown convolution mode {mode!r}')
 
 
@@ -151,3 +154,43 @@ class FilterFFT:
             )
         step = self._step_b if block.n_dim == 2 else self._step
         return step(block, self.kernel_spec)
+
+
+def convolve(in1: Tensor, in2: Tensor, mode: str = 'full',
+             method: str = 'auto') -> Tensor:
+    """scipy.signal.convolve for 1-D and 2-D Tensors. Every ``method``
+    routes to the FFT engine ('direct' included — on TPU the batched
+    FFT path IS the fast path at all sizes; results match the direct
+    sum to f32 rounding, which the tests pin)."""
+    if method not in ('auto', 'fft', 'direct'):
+        raise RuntimeError(f'convolve: unknown method {method!r}')
+    if in2.n_dim == 2 and in1.n_dim == 2:
+        return fft_convolve2(in1, in2, mode=mode)
+    if in2.n_dim != 1:
+        raise RuntimeError('convolve: in2 must be 1-D (or both 2-D)')
+    return fft_convolve(in1, in2, mode=mode)
+
+
+def oaconvolve(in1: Tensor, in2: Tensor, mode: str = 'full') -> Tensor:
+    """scipy.signal.oaconvolve: block convolution with bounded FFT size
+    for long-signal/short-kernel pairs (the overlap-save engine,
+    models/ola.py), falling back to one whole-signal FFT when blocking
+    would not help. 1-D real Tensors."""
+    if in1.n_dim not in (1, 2) or in2.n_dim != 1:
+        raise RuntimeError('oaconvolve: expected (n,)/(b, n) in1 and 1-D '
+                           'in2')
+    n, k = in1.shape[-1], in2.shape[-1]
+    if mode not in ('full', 'same', 'valid'):
+        raise RuntimeError(f'oaconvolve: unknown mode {mode!r}')
+    # blocking pays off when the signal is much longer than the kernel
+    if n >= 8 * k and k <= 1 << 15:
+        from .ola import OverlapSave
+
+        full = OverlapSave(in2)(in1)
+        out_len = n + k - 1
+        lo = {'full': 0, 'same': (k - 1) // 2,
+              'valid': min(n, k) - 1}[mode]
+        hi = {'full': out_len, 'same': (k - 1) // 2 + n,
+              'valid': max(n, k)}[mode]
+        return full[:, lo:hi] if in1.n_dim == 2 else full[lo:hi]
+    return fft_convolve(in1, in2, mode=mode)

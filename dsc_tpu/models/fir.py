@@ -363,3 +363,52 @@ def minimum_phase(h, method: str = 'homomorphic', n_fft=None,
         h_min = np.fft.ifft(np.exp(np.fft.fft(cep * win))).real
     n_out = (n_half + h.size % 2) if half else h.size
     return h_min[:n_out]
+
+
+def firls(numtaps: int, bands, desired, weight=None,
+          fs: float = 2.0) -> 'np.ndarray':
+    """Least-squares linear-phase FIR design (scipy.signal.firls
+    semantics): minimize the weighted integrated squared error of the
+    type-I amplitude response A(f) = a0 + sum a_k cos(pi k f) against a
+    piecewise-linear target over ``bands``. The band integrals are
+    analytic (sinc antiderivatives), so the design is one (M+1)x(M+1)
+    Toeplitz-plus-Hankel solve in f64 — exact vs scipy."""
+    if numtaps < 1 or numtaps % 2 == 0:
+        raise RuntimeError(f'firls: numtaps ({numtaps}) must be odd')
+    bands_a = np.asarray(bands, np.float64).reshape(-1, 2) / (fs / 2.0)
+    desired_a = np.asarray(desired, np.float64).reshape(-1, 2)
+    if bands_a.shape != desired_a.shape:
+        raise RuntimeError('firls: bands and desired sizes differ')
+    if np.any(bands_a < 0) or np.any(bands_a > 1) or \
+            np.any(np.diff(bands_a.ravel()) < 0):
+        raise RuntimeError('firls: bands must be nondecreasing in '
+                           '[0, fs/2]')
+    if weight is None:
+        weight = np.ones(len(bands_a))
+    weight_a = np.asarray(weight, np.float64)
+    if weight_a.size != len(bands_a):
+        raise RuntimeError('firls: need one weight per band')
+    m_half = (numtaps - 1) // 2
+    k = np.arange(m_half + 1)
+    k2 = np.arange(2 * m_half + 1)
+    q = np.zeros(2 * m_half + 1)
+    b = np.zeros(m_half + 1)
+    for (f1, f2), (d1, d2), w in zip(bands_a, desired_a, weight_a):
+        q += w * (f2 * np.sinc(k2 * f2) - f1 * np.sinc(k2 * f1))
+        m = (d2 - d1) / (f2 - f1) if f2 != f1 else 0.0
+        c = d1 - m * f1
+
+        def antider(f):
+            out = np.empty(m_half + 1)
+            out[0] = m * f * f / 2.0 + c * f
+            kk = k[1:]
+            out[1:] = (m * f + c) * np.sin(np.pi * kk * f) / (np.pi * kk) \
+                + m * np.cos(np.pi * kk * f) / (np.pi * kk) ** 2
+            return out
+
+        b += w * (antider(f2) - antider(f1))
+    # <cos(pi i f), cos(pi j f)> = (q(|i-j|) + q(i+j)) / 2
+    gram = 0.5 * (q[np.abs(k[:, None] - k[None, :])]
+                  + q[k[:, None] + k[None, :]])
+    a = np.linalg.solve(gram, b)
+    return np.concatenate([a[m_half:0:-1] / 2.0, [a[0]], a[1:] / 2.0])

@@ -266,3 +266,39 @@ def hilbert(x: Tensor) -> Tensor:
     if not batched:
         re, im = re[0], im[0]
     return Tensor._from_planar(Planar(re, im, tuple(re.shape)))
+
+
+def hilbert2(x: Tensor) -> Tensor:
+    """2-D analytic signal (scipy.signal.hilbert2 semantics):
+    ifft2(fft2(x) * h_m x h_n) with the classic 1-D analytic step
+    vectors h = [1, 2...2, 1, 0...0] on each axis, composed from the
+    public fft2/ifft2 (planar complex engine). x: (m, n) real with
+    power-of-two sides; returns a c32 Tensor."""
+    from ..fourier import fft2, ifft2
+    from ..tensor import from_numpy, mul
+
+    if x.n_dim != 2:
+        raise RuntimeError(f'hilbert2: expected a 2-D signal, got {x.n_dim}-D')
+    if x.dtype.is_complex:
+        raise RuntimeError('hilbert2 expects a real signal')
+    m, n = x.shape
+    if m & (m - 1) or n & (n - 1) or m < 2 or n < 2:
+        raise RuntimeError(
+            f'hilbert2: shape {x.shape} must have power-of-two sides')
+
+    def steps(sz):
+        # (1 + s(p)) with the modified sign: +1 on positive bins, -1 on
+        # negative AND Nyquist (scipy >= 1.17 single-orthant convention)
+        h = np.zeros(sz, np.float32)
+        h[0] = 1.0
+        h[1:sz // 2] = 2.0
+        return h
+
+    mask = from_numpy(np.outer(steps(m), steps(n)))
+    with tracing.trace_op(
+        'hilbert2', 'op;pipeline', tracing.tensor_args(x=x)
+    ) as tr:
+        out = ifft2(mul(fft2(x), mask))
+        if tr:
+            tr.result = out.jax
+    return out
