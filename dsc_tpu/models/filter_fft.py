@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax.numpy as jnp
+
 import numpy as np
 
 from ..fourier import irfft, irfft2, rfft, rfft2
@@ -194,3 +196,39 @@ def oaconvolve(in1: Tensor, in2: Tensor, mode: str = 'full') -> Tensor:
               'valid': max(n, k)}[mode]
         return full[:, lo:hi] if in1.n_dim == 2 else full[lo:hi]
     return fft_convolve(in1, in2, mode=mode)
+
+
+def convolve2d(in1: Tensor, in2: Tensor, mode: str = 'full',
+               boundary: str = 'fill', fillvalue: float = 0.0) -> Tensor:
+    """2-D convolution with boundary handling
+    (scipy.signal.convolve2d semantics): ``boundary`` in {'fill' (pad
+    with ``fillvalue``), 'wrap' (circular), 'symm' (symmetric
+    reflection)}. Non-zero boundaries pre-extend the image by the
+    kernel radius in-program, then ride the same rfft2 engine."""
+    if in1.n_dim != 2 or in2.n_dim != 2:
+        raise RuntimeError('convolve2d: expected 2-D inputs')
+    if mode not in ('full', 'same', 'valid'):
+        raise RuntimeError(f'convolve2d: unknown mode {mode!r}')
+    if boundary == 'fill' and fillvalue == 0.0:
+        return fft_convolve2(in1, in2, mode=mode)
+    p, q = in2.shape
+    m, n = in1.shape
+    if boundary == 'fill':
+        xp = jnp.pad(in1.jax, ((p - 1, p - 1), (q - 1, q - 1)),
+                     constant_values=float(fillvalue))
+    elif boundary == 'wrap':
+        xp = jnp.pad(in1.jax, ((p - 1, p - 1), (q - 1, q - 1)),
+                     mode='wrap')
+    elif boundary == 'symm':
+        xp = jnp.pad(in1.jax, ((p - 1, p - 1), (q - 1, q - 1)),
+                     mode='symmetric')
+    else:
+        raise RuntimeError(f'convolve2d: unknown boundary {boundary!r}')
+    full = fft_convolve2(Tensor._from_jax(xp), in2, mode='valid')
+    # 'valid' of the extended image == 'full' of the original
+    if mode == 'full':
+        return full
+    if mode == 'same':
+        r0, c0 = (p - 1) // 2, (q - 1) // 2
+        return full[r0:r0 + m, c0:c0 + n]
+    return full[p - 1:m, q - 1:n]
