@@ -69,21 +69,30 @@ def _scan2(v, a2, a3, y0, y1):
 
 
 def _sym_precision(precision: float) -> float:
+    # scipy's C default for double precision inputs (splinemodule
+    # lineage): terms below 1e-11 stop the boundary series
     if precision <= 0.0 or precision > 1.0:
-        return float(np.finfo(np.float64).eps)
+        return 1e-11
     return float(precision)
 
 
-def _series_len(base: float, precision: float, n: int, who: str) -> int:
+def _series_len(base: float, precision: float, n: int, who: str,
+                strict: bool = True) -> int:
     if precision <= 0.0:  # 0 = no truncation (full-signal sums)
         return n
     if base <= 0.0:
         return 1
     k = int(np.ceil(np.log(precision) / np.log(base))) + 1
     if k > n:
-        raise RuntimeError(
-            f'{who}: boundary-condition series did not converge within '
-            f'the signal length (|pole|={base:.4f}, n={n})')
+        # scipy's symiirorder1 C raises when the series cannot reach
+        # its precision within the signal (strict); symiirorder2's IC
+        # kernels stop at their first small TERM (a looser,
+        # data-dependent rule), so there we truncate at n instead
+        if strict:
+            raise RuntimeError(
+                f'{who}: boundary-condition series did not converge '
+                f'within the signal length (|pole|={base:.4f}, n={n})')
+        return n
     return max(k, 1)
 
 
@@ -161,7 +170,7 @@ def _symiir2_core(x, cs, a2, a3, hc0, hc1, hfwd0, hfwd1, hbwd_last,
 
 def _symiir2_host_tables(r, omega, n, precision, who):
     cs = 1.0 - 2.0 * r * np.cos(omega) + r * r
-    l = _series_len(abs(r), precision, n, who)
+    l = _series_len(abs(r), precision, n, who, strict=False)
     k = np.arange(n, dtype=np.float64)
     zero = np.zeros(n)
     hfwd0 = np.where(k < l, _hc_vec(k + 1, cs, r, omega), zero)
@@ -345,3 +354,95 @@ def gauss_spline(x, n: int):
     x = np.asarray(x.numpy() if isinstance(x, Tensor) else x, np.float64)
     sig2 = (n + 1) / 12.0
     return np.exp(-x * x / (2.0 * sig2)) / np.sqrt(2.0 * np.pi * sig2)
+
+
+# ------------------------------------------------------------ 2-D splines
+
+def _along_axes(func, x: Tensor, *args, **kw) -> Tensor:
+    """Apply a batched-rows 1-D transform along axis -1 then axis 0 of a
+    2-D Tensor (scipy's symiirorder_nd composition)."""
+    from ..tensor import transpose
+
+    out = func(x, *args, **kw)
+    out = func(transpose(out), *args, **kw)
+    return transpose(out)
+
+
+def cspline2d(signal: Tensor, lamb: float = 0.0,
+              precision: float = -1.0) -> Tensor:
+    """2-D cubic B-spline coefficients (scipy.signal.cspline2d
+    semantics): the separable symiirorder1 transform for
+    ``lamb <= 1/144`` (c0 = -6r, z1 = r = sqrt(3)-2), the separable
+    symiirorder2 smoother above. Both run as device scans along rows,
+    then columns. For the smoothing case the boundary values differ
+    from scipy's at ~1e-6 absolute: its C stops each boundary series at
+    the FIRST term under its precision default, dropping the
+    oscillating tail; this implementation sums the decayed series."""
+    if signal.n_dim != 2:
+        raise RuntimeError(f'cspline2d: expected a 2-D image, got '
+                           f'{signal.n_dim}-D')
+    if lamb <= 1.0 / 144.0:
+        r = -2.0 + np.sqrt(3.0)
+        return _along_axes(symiirorder1, signal, -r * 6.0, r,
+                           precision=precision)
+    r, omega = _coeff_smooth_params(float(lamb))
+    return _along_axes(symiirorder2, signal, r, omega,
+                       precision=precision)
+
+
+def qspline2d(signal: Tensor, lamb: float = 0.0,
+              precision: float = -1.0) -> Tensor:
+    """2-D quadratic B-spline coefficients (scipy.signal.qspline2d;
+    ``lamb`` must be 0, like scipy)."""
+    if signal.n_dim != 2:
+        raise RuntimeError(f'qspline2d: expected a 2-D image, got '
+                           f'{signal.n_dim}-D')
+    if lamb > 0:
+        raise RuntimeError('qspline2d: lamb must be <= 0')
+    r = -3.0 + 2.0 * np.sqrt(2.0)
+    return _along_axes(symiirorder1, signal, -r * 8.0, r,
+                       precision=precision)
+
+
+@partial(jax.jit, static_argnames=('kr', 'kc'))
+def _sepfir2d_program(x, hrow, hcol, kr, kc):
+    m, n = x.shape
+    pr, pc = kr // 2, kc // 2
+    # convolution along the last axis (columns move): kernel flipped
+    xp = jnp.pad(x, ((0, 0), (pc, pc)), mode='symmetric')
+    out = sum(hcol[kc - 1 - j] * xp[:, j:j + n] for j in range(kc))
+    xp = jnp.pad(out, ((pr, pr), (0, 0)), mode='symmetric')
+    return sum(hrow[kr - 1 - i] * xp[i:i + m, :] for i in range(kr))
+
+
+def sepfir2d(input: Tensor, hrow, hcol) -> Tensor:  # noqa: A002
+    """Separable 2-D FIR with mirror-symmetric (edge-repeating) boundary
+    extension (scipy.signal.sepfir2d semantics): convolve the rows with
+    ``hrow`` and the columns with ``hcol``, both odd-length. One device
+    program of shifted-slice adds."""
+    if input.n_dim != 2:
+        raise RuntimeError(f'sepfir2d: expected a 2-D image, got '
+                           f'{input.n_dim}-D')
+    hr = np.atleast_1d(np.asarray(hrow, np.float64))
+    hc = np.atleast_1d(np.asarray(hcol, np.float64))
+    if hr.ndim != 1 or hc.ndim != 1 or hr.size % 2 == 0 \
+            or hc.size % 2 == 0:
+        raise RuntimeError('sepfir2d: hrow and hcol must be odd-length 1-D')
+    with tracing.trace_op(
+        'sepfir2d', 'op;pipeline', tracing.tensor_args(x=input)
+    ) as tr:
+        out = _sepfir2d_program(
+            input.jax.astype(jnp.float64), jnp.asarray(hr),
+            jnp.asarray(hc), hr.size, hc.size).astype(jnp.float32)
+        if tr:
+            tr.result = out
+    return Tensor._from_jax(out)
+
+
+def spline_filter(Iin: Tensor, lmbda: float = 5.0) -> Tensor:
+    """Smoothing-spline filtering of a 2-D image
+    (scipy.signal.spline_filter semantics): cubic-spline coefficients at
+    fall-off ``lmbda``, then the separable [1, 4, 1]/6 synthesis."""
+    ck = cspline2d(Iin, lmbda)
+    h = np.asarray([1.0, 4.0, 1.0]) / 6.0
+    return sepfir2d(ck, h, h)

@@ -100,3 +100,35 @@ def test_batched_rows():
     for i in range(3):
         ref = sps.cspline1d(xb[i].astype(np.float64))
         assert np.abs(got[i] - ref).max() < 1e-6 * np.abs(ref).max()
+
+
+def test_2d_splines_match_scipy():
+    im = np.random.default_rng(4).standard_normal((32, 48)).astype(
+        np.float32)
+    from dsc_tpu.models import (cspline2d, qspline2d, sepfir2d,
+                                spline_filter)
+    for lamb in (0.0, 1.0 / 200.0):
+        got = cspline2d(dsc.from_numpy(im), lamb).numpy()
+        ref = sps.cspline2d(im.astype(np.float64), lamb)
+        assert np.abs(got - ref).max() < 1e-5 * np.abs(ref).max(), lamb
+    got = qspline2d(dsc.from_numpy(im)).numpy()
+    ref = sps.qspline2d(im.astype(np.float64))
+    assert np.abs(got - ref).max() < 1e-5 * np.abs(ref).max()
+    # smoothing case: scipy's C truncates the boundary series at its
+    # first small term; we sum the tail, so edges differ at ~1e-6 abs
+    got = cspline2d(dsc.from_numpy(im), 1.0).numpy()
+    ref = sps.cspline2d(im.astype(np.float64), 1.0)
+    assert np.abs(got - ref).max() < 5e-3 * np.abs(ref).max()
+    d = np.abs(got - ref)
+    assert d[4:-4, 4:-4].max() < 5e-4 * np.abs(ref).max()  # interior tight
+    h = np.array([0.25, 0.5, 0.15])
+    got = sepfir2d(dsc.from_numpy(im), h, h).numpy()
+    ref = sps.sepfir2d(im.astype(np.float64), h, h)
+    assert np.abs(got - ref).max() < 1e-5 * np.abs(ref).max()
+    got = spline_filter(dsc.from_numpy(im), 5.0).numpy()
+    ref = sps.spline_filter(im.astype(np.float64), 5.0)
+    assert np.abs(got - ref).max() < 5e-3 * np.abs(ref).max()
+    with pytest.raises(RuntimeError):
+        qspline2d(dsc.from_numpy(im), lamb=1.0)
+    with pytest.raises(RuntimeError):
+        sepfir2d(dsc.from_numpy(im), np.ones(4), h)  # even kernel
