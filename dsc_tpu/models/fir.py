@@ -412,3 +412,77 @@ def firls(numtaps: int, bands, desired, weight=None,
                   + q[k[:, None] + k[None, :]])
     a = np.linalg.solve(gram, b)
     return np.concatenate([a[m_half:0:-1] / 2.0, [a[0]], a[1:] / 2.0])
+
+
+def gammatone(freq: float, ftype: str, order=None, numtaps=None,
+              fs=None):
+    """Gammatone auditory filter design (scipy.signal.gammatone
+    semantics, the Slaney/Holdsworth formulas): ``ftype='fir'`` samples
+    the order-``order`` gammatone impulse response
+    t^(o-1) e^(-2 pi b t) cos(2 pi f t) over ``numtaps`` taps
+    (unit gain at the center frequency); ``'iir'`` is the classic
+    8th-order digital approximation (4 cascaded poles, impulse
+    invariance). Returns host (b, a) arrays; run the 8th-order IIR
+    through ``sosfilt(tf2sos(b, a), x)`` — a direct order-8 recurrence
+    with near-unit poles is single-precision-unstable in ANY
+    implementation."""
+    freq = float(freq)
+    if fs is None:
+        fs = 2.0
+    fs = float(fs)
+    if not 0 < freq < fs / 2:
+        raise RuntimeError(
+            f'gammatone: freq must be in (0, {fs / 2}), got {freq}')
+    if ftype not in ('fir', 'iir'):
+        raise RuntimeError(f'gammatone: ftype must be fir or iir')
+    erb = freq / 9.26449 + 24.7  # equivalent rectangular bandwidth
+    if ftype == 'fir':
+        order = 4 if order is None else int(order)
+        if not 0 < order <= 24:
+            raise RuntimeError('gammatone: order must be in (0, 24]')
+        numtaps = max(int(fs * 0.015), 15) if numtaps is None \
+            else int(numtaps)
+        t = np.arange(numtaps, dtype=np.float64) / fs
+        bw = 1.019 * erb
+        b = t ** (order - 1) * np.exp(-2 * np.pi * bw * t) \
+            * np.cos(2 * np.pi * freq * t)
+        from math import factorial
+
+        scale = 2 * (2 * np.pi * bw) ** order / factorial(order - 1) / fs
+        return b * scale, np.asarray([1.0])
+    # iir: 4 pole pairs at the center frequency, bandwidth 1.019*ERB
+    t_s = 1.0 / fs
+    bw = 2 * np.pi * 1.019 * erb
+    fr = 2 * np.pi * freq * t_s
+    bwt = bw * t_s
+    # unit-gain normalization at the center frequency
+    g1 = -2 * np.exp(2j * fr) * t_s
+    g2 = 2 * np.exp(-bwt + 1j * fr) * t_s
+    g3 = np.sqrt(3 + 2 ** 1.5) * np.sin(fr)
+    g4 = np.sqrt(3 - 2 ** 1.5) * np.sin(fr)
+    g5 = np.exp(2j * fr)
+    g = (g1 + g2 * (np.cos(fr) - g4)) * (g1 + g2 * (np.cos(fr) + g4)) \
+        * (g1 + g2 * (np.cos(fr) - g3)) * (g1 + g2 * (np.cos(fr) + g3))
+    g /= (-2 / np.exp(2 * bwt) - 2 * g5 + 2 * (1 + g5)
+          / np.exp(bwt)) ** 4
+    g = float(np.hypot(g.real, g.imag))
+    e = np.exp(-bwt)
+    b = np.asarray([
+        t_s ** 4,
+        -4 * t_s ** 4 * np.cos(fr) * e,
+        6 * t_s ** 4 * np.cos(2 * fr) * e ** 2,
+        -4 * t_s ** 4 * np.cos(3 * fr) * e ** 3,
+        t_s ** 4 * np.cos(4 * fr) * e ** 4,
+    ]) / g
+    a = np.asarray([
+        1.0,
+        -8 * np.cos(fr) * e,
+        4 * (4 + 3 * np.cos(2 * fr)) * e ** 2,
+        -8 * (6 * np.cos(fr) + np.cos(3 * fr)) * e ** 3,
+        2 * (18 + 16 * np.cos(2 * fr) + np.cos(4 * fr)) * e ** 4,
+        -8 * (6 * np.cos(fr) + np.cos(3 * fr)) * e ** 5,
+        4 * (4 + 3 * np.cos(2 * fr)) * e ** 6,
+        -8 * np.cos(fr) * e ** 7,
+        e ** 8,
+    ])
+    return b, a

@@ -79,3 +79,32 @@ def test_firls_fs_and_errors():
         firls(30, [0, 0.5, 0.6, 1.0], [1, 1, 0, 0])  # even numtaps
     with pytest.raises(RuntimeError):
         firls(31, [0, 0.6, 0.5, 1.0], [1, 1, 0, 0])  # non-monotone
+
+
+def test_gammatone_matches_scipy():
+    import warnings
+    from dsc_tpu.models import gammatone, lfilter
+
+    for ft in ('fir', 'iir'):
+        for f, fs in [(440.0, 16000.0), (1000.0, 44100.0), (0.3, 2.0)]:
+            b1, a1 = gammatone(f, ft, fs=fs)
+            with warnings.catch_warnings():
+                warnings.simplefilter('ignore')
+                b2, a2 = sps.gammatone(f, ft, fs=fs)
+            assert np.allclose(b1, b2, atol=1e-15), (ft, f)
+            assert np.allclose(a1, np.asarray(a2), atol=1e-12), (ft, f)
+    # end-to-end: the IIR gammatone filters on device through biquads
+    # (the 8th-order TF with near-unit poles is f32-unstable direct,
+    # like any high-order TF -- the classic reason for sos form)
+    from dsc_tpu.models import sosfilt, tf2sos
+
+    b, a = gammatone(440.0, 'iir', fs=16000.0)
+    x = np.random.default_rng(0).standard_normal(2048).astype(np.float32)
+    y = sosfilt(tf2sos(b, a), dsc.from_numpy(x)).numpy()
+    yr = sps.lfilter(b, a, x.astype(np.float64))
+    assert np.abs(y - yr).max() < 1e-4 * np.abs(yr).max()
+    del lfilter
+    with pytest.raises(RuntimeError):
+        gammatone(3000.0, 'fir', fs=2000.0)
+    with pytest.raises(RuntimeError):
+        gammatone(440.0, 'bogus', fs=16000.0)
