@@ -486,3 +486,30 @@ def gammatone(freq: float, ftype: str, order=None, numtaps=None,
         e ** 8,
     ])
     return b, a
+
+
+def firwin_2d(hsize, window, fc=None, fs: float = 2.0,
+              circular: bool = False, pass_zero: bool = True,
+              scale: bool = True) -> 'np.ndarray':
+    """2-D FIR design (scipy.signal.firwin_2d semantics): the outer
+    product of two 1-D window-method filters, or — ``circular=True`` —
+    a circularly-symmetric filter built by radially interpolating an
+    8x-oversampled 1-D design. Returns a host (h1, h2) array."""
+    if len(hsize) != 2:
+        raise RuntimeError('firwin_2d: hsize must have 2 elements')
+    if fc is None:
+        raise RuntimeError('firwin_2d: fc is required')
+    if circular:
+        n_r = max(hsize[0], hsize[1]) * 8
+        win_r = firwin(n_r, fc, window=window, fs=fs).numpy()
+        f1, f2 = np.meshgrid(np.linspace(-1, 1, hsize[0]),
+                             np.linspace(-1, 1, hsize[1]))
+        r = np.sqrt(f1 * f1 + f2 * f2)
+        return np.interp(r, np.linspace(0, 1, n_r), win_r)
+    if len(window) != 2:
+        raise RuntimeError('firwin_2d: window must have 2 elements')
+    row = firwin(hsize[0], fc, window=window[0], pass_zero=pass_zero,
+                 scale=scale, fs=fs).numpy()
+    col = firwin(hsize[1], fc, window=window[1], pass_zero=pass_zero,
+                 scale=scale, fs=fs).numpy()
+    return np.outer(row, col)
