@@ -273,3 +273,67 @@ def istft(z: Tensor, fs: float = 1.0, window='hann',
     t_np = np.arange(out.shape[-1]) / fs
     t = Tensor._from_jax(jnp.asarray(t_np.astype(np.float32)))
     return t, Tensor._from_jax(out if batched else out[0])
+
+
+def _overlap_add_diag(v: np.ndarray, hop: int) -> np.ndarray:
+    """sum_m v[k - m*hop] over all integer m (within bounds) — the
+    zero-frequency diagonal of the Gabor frame operator."""
+    out = v.copy()
+    for k in range(hop, v.size, hop):
+        out[k:] += v[:-k]
+        out[:-k] += v[k:]
+    return out
+
+
+def stft_dual_window(win, hop: int) -> np.ndarray:
+    """Canonical dual window of ``win`` at hop ``hop`` (the window the
+    least-squares ISTFT implicitly uses): w / sum_m |w[k - m*hop]|^2.
+    Raises when the frame operator is singular (STFT not invertible)."""
+    win = np.asarray(win)
+    if win.ndim != 1:
+        raise RuntimeError('stft_dual_window: win must be 1-D')
+    if not 1 <= hop <= win.size:
+        raise RuntimeError(f'stft_dual_window: hop ({hop}) must be in '
+                           f'[1, {win.size}]')
+    dd = _overlap_add_diag(win.real ** 2 + win.imag ** 2, hop)
+    if not np.all(dd >= np.finfo(np.float64).resolution * dd.max()):
+        raise RuntimeError('stft_dual_window: STFT not invertible (the '
+                           'squared-window overlap-add has zeros)')
+    return win / dd
+
+
+def closest_STFT_dual_window(win, hop: int, desired_dual=None,
+                             scaled: bool = True):
+    """The STFT dual window of ``win`` closest (least squares) to
+    ``desired_dual`` (scipy.signal.closest_STFT_dual_window semantics):
+    project the desired window onto the affine space of valid duals —
+    canonical dual plus the component of (desired - its frame image)
+    orthogonal to the dual-window constraint. Returns (window, alpha)."""
+    win = np.asarray(win, np.float64) if not np.iscomplexobj(win) \
+        else np.asarray(win)
+    if desired_dual is None:
+        desired_dual = np.ones_like(win)
+    desired_dual = np.asarray(desired_dual)
+    if win.ndim != 1 or win.shape != desired_dual.shape:
+        raise RuntimeError('closest_STFT_dual_window: win and '
+                           'desired_dual must be equal-length 1-D')
+    if not (np.all(np.isfinite(win))
+            and np.all(np.isfinite(desired_dual))):
+        raise RuntimeError('closest_STFT_dual_window: entries must be '
+                           'finite')
+    if not 1 <= hop <= win.size:
+        raise RuntimeError(f'closest_STFT_dual_window: hop ({hop}) must '
+                           f'be in [1, {win.size}]')
+    w_d = stft_dual_window(win, hop)
+    q_d = w_d * _overlap_add_diag(np.conj(win) * desired_dual, hop)
+    if not scaled:
+        return w_d + desired_dual - q_d, 1.0
+    numer = np.conj(q_d).T @ w_d
+    denom = q_d.real @ q_d.real + q_d.imag @ q_d.imag
+    if not (abs(numer) > 0
+            and denom > np.finfo(np.float64).resolution):
+        raise RuntimeError(
+            'closest_STFT_dual_window: numerically unstable scale; use '
+            'scaled=False')
+    alpha = numer / denom
+    return w_d + alpha * (desired_dual - q_d), alpha

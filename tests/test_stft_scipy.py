@@ -96,3 +96,24 @@ def test_stft_errors():
     _, _, z = stft(x, nperseg=256)
     with pytest.raises(RuntimeError):
         istft(z, nperseg=256, window=np.zeros(256))  # fails NOLA
+
+
+def test_dual_windows_match_scipy():
+    from scipy.signal._short_time_fft import _calc_dual_canonical_window
+
+    from dsc_tpu.models import closest_STFT_dual_window, stft_dual_window
+
+    rng = np.random.default_rng(0)
+    for win, hop in [(np.hanning(64), 16), (np.hamming(48), 12),
+                     (rng.uniform(0.2, 1.0, 40), 8)]:
+        d = stft_dual_window(win, hop)
+        assert np.allclose(
+            d, _calc_dual_canonical_window(np.asarray(win, np.float64),
+                                           hop))
+        for kw in [dict(), dict(scaled=False),
+                   dict(desired_dual=np.hanning(len(win)))]:
+            g, ga = closest_STFT_dual_window(win, hop, **kw)
+            r, ra = sps.closest_STFT_dual_window(win, hop, **kw)
+            assert np.allclose(g, r) and abs(ga - ra) < 1e-12
+    with pytest.raises(RuntimeError):
+        stft_dual_window(np.hanning(64), 64)  # hop too large: zeros
