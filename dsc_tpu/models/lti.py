@@ -30,9 +30,17 @@ def normalize(b, a):
             f'normalize: improper transfer function (len(b)={b.size} > '
             f'len(a)={a.size})')
     bn, an = b / a[0], a / a[0]
-    # strip leading zeros but keep at least one coefficient
-    nz = np.nonzero(bn)[0]
-    bn = bn[nz[0]:] if nz.size else bn[-1:]
+    # strip leading (near-)zeros but keep at least one coefficient —
+    # scipy's normalize tolerance semantics: compositions like ss2tf
+    # produce ~1e-16 leading residue from monic-polynomial cancellation,
+    # and keeping it would fabricate huge spurious roots
+    scale = max(1.0, float(np.abs(bn).max()))
+    k = 0
+    while k < bn.size - 1 and abs(bn[k]) <= 1e-14 * scale:
+        k += 1
+    bn = bn[k:]
+    if bn.size == 1 and abs(bn[0]) <= 1e-14 * scale:
+        bn = np.zeros(1)
     return bn, an
 
 
