@@ -20,10 +20,8 @@ from typing import Optional
 import numpy as np
 
 from .filter_extras import dbode, dfreqresp
-from .iir import freqz
 from .lti import normalize, tf2zpk, zpk2tf
 from .response import bode as _bode
-from .response import freqresp as _freqresp
 from .statespace import (
     dimpulse as _dimpulse,
     dlsim as _dlsim,
