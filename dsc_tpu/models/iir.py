@@ -493,9 +493,14 @@ def _lp2bs_zpk(z, p, k, wo, bw):
     return zbs, pbs, k * np.real(np.prod(-z) / np.prod(-p))
 
 
-def _iirdesign_sos(z, p, k, N, Wn, btype, fs, who: str) -> np.ndarray:
+def _iirdesign_sos(z, p, k, N, Wn, btype, fs, who: str,
+                   output: str = 'sos'):
     """Shared digital-design driver: normalize Wn, prewarp, apply the
-    band transform, bilinear-transform, pair into biquads."""
+    band transform, bilinear-transform, emit ``output`` ('sos' biquads
+    — the numerically safe default this package consumes — or scipy's
+    'ba' / 'zpk' forms)."""
+    if output not in ('sos', 'ba', 'zpk'):
+        raise RuntimeError(f"{who}: unknown output {output!r}")
     wn = np.atleast_1d(np.asarray(Wn, np.float64))
     if fs is not None:
         wn = wn / (fs / 2.0)
@@ -522,6 +527,12 @@ def _iirdesign_sos(z, p, k, N, Wn, btype, fs, who: str) -> np.ndarray:
         tf = _lp2bp_zpk if btype == 'bandpass' else _lp2bs_zpk
         z, p, k = tf(z, p, k, wo, bw)
     zd, pd, kd = _bilinear_zpk(z, p, k, fs_d)
+    if output == 'zpk':
+        return zd, pd, kd
+    if output == 'ba':
+        from .lti import zpk2tf
+
+        return zpk2tf(zd, pd, kd)
     return _zpk2sos(zd, pd, kd)
 
 
@@ -530,8 +541,8 @@ def _check_order(N: int, who: str) -> None:
         raise RuntimeError(f'{who}: order ({N}) must be >= 1')
 
 
-def butter(N: int, Wn, btype: str = 'low', fs: Optional[float] = None
-           ) -> np.ndarray:
+def butter(N: int, Wn, btype: str = 'low', fs: Optional[float] = None,
+           output: str = 'sos'):
     """Butterworth digital filter design in second-order sections
     (scipy.signal.butter(..., output='sos') semantics). ``Wn``: critical
     frequency/ies — normalized to Nyquist when ``fs`` is None, else in
@@ -543,11 +554,11 @@ def butter(N: int, Wn, btype: str = 'low', fs: Optional[float] = None
     theta = np.pi * np.arange(-N + 1, N, 2) / (2.0 * N)
     p = -np.exp(1j * theta)
     return _iirdesign_sos(np.array([], complex), p, 1.0, N, Wn, btype, fs,
-                          'butter')
+                          'butter', output=output)
 
 
 def cheby1(N: int, rp: float, Wn, btype: str = 'low',
-           fs: Optional[float] = None) -> np.ndarray:
+           fs: Optional[float] = None, output: str = 'sos'):
     """Chebyshev type-I design (``rp`` dB passband ripple;
     scipy.signal.cheby1(..., output='sos') semantics)."""
     _check_order(N, 'cheby1')
@@ -561,11 +572,11 @@ def cheby1(N: int, rp: float, Wn, btype: str = 'low',
     if N % 2 == 0:
         k /= np.sqrt(1.0 + eps * eps)
     return _iirdesign_sos(np.array([], complex), p, k, N, Wn, btype, fs,
-                          'cheby1')
+                          'cheby1', output=output)
 
 
 def cheby2(N: int, rs: float, Wn, btype: str = 'low',
-           fs: Optional[float] = None) -> np.ndarray:
+           fs: Optional[float] = None, output: str = 'sos'):
     """Chebyshev type-II design (``rs`` dB stopband attenuation;
     scipy.signal.cheby2(..., output='sos') semantics)."""
     _check_order(N, 'cheby2')
@@ -582,7 +593,8 @@ def cheby2(N: int, rs: float, Wn, btype: str = 'low',
     p = np.sinh(mu) * p.real + 1j * np.cosh(mu) * p.imag
     p = 1.0 / p
     k = np.real(np.prod(-p) / np.prod(-z))
-    return _iirdesign_sos(z, p, k, N, Wn, btype, fs, 'cheby2')
+    return _iirdesign_sos(z, p, k, N, Wn, btype, fs, 'cheby2',
+                          output=output)
 
 
 def decimate(x: Tensor, q: int, n: Optional[int] = None,

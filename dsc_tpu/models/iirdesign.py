@@ -138,7 +138,7 @@ def _ellipap(n: int, rp: float, rs: float):
 
 
 def ellip(N: int, rp: float, rs: float, Wn, btype: str = 'low',
-          fs: Optional[float] = None) -> np.ndarray:
+          fs: Optional[float] = None, output: str = 'sos'):
     """Elliptic (Cauer) digital filter design in second-order sections
     (scipy.signal.ellip(..., output='sos') semantics): ``rp`` dB
     passband ripple, ``rs`` dB stopband attenuation, minimal transition
@@ -150,7 +150,8 @@ def ellip(N: int, rp: float, rs: float, Wn, btype: str = 'low',
     if rs <= rp:
         raise RuntimeError(f'ellip: rs ({rs}) must exceed rp ({rp})')
     z, p, k = _ellipap(N, float(rp), float(rs))
-    return _iirdesign_sos(z, p, k, N, Wn, btype, fs, 'ellip')
+    return _iirdesign_sos(z, p, k, N, Wn, btype, fs, 'ellip',
+                          output=output)
 
 
 def _besselap(n: int):
@@ -178,7 +179,7 @@ def _besselap(n: int):
 
 
 def bessel(N: int, Wn, btype: str = 'low',
-           fs: Optional[float] = None) -> np.ndarray:
+           fs: Optional[float] = None, output: str = 'sos'):
     """Bessel/Thomson digital filter design in second-order sections
     (scipy.signal.bessel(..., output='sos', norm='phase') semantics):
     maximally flat group delay in the analog prototype."""
@@ -188,13 +189,14 @@ def bessel(N: int, Wn, btype: str = 'low',
             f'bessel: order {N} > 25 (reverse Bessel polynomial roots '
             'lose f64 accuracy)')
     z, p, k = _besselap(N)
-    return _iirdesign_sos(z, p, k, N, Wn, btype, fs, 'bessel')
+    return _iirdesign_sos(z, p, k, N, Wn, btype, fs, 'bessel',
+                          output=output)
 
 
 def iirfilter(N: int, Wn, rp: Optional[float] = None,
               rs: Optional[float] = None, btype: str = 'band',
-              ftype: str = 'butter',
-              fs: Optional[float] = None) -> np.ndarray:
+              ftype: str = 'butter', fs: Optional[float] = None,
+              output: str = 'sos'):
     """Family dispatcher (scipy.signal.iirfilter, output='sos'):
     ``ftype`` in {'butter', 'cheby1', 'cheby2', 'ellip', 'bessel'};
     ``btype`` defaults to 'band' like scipy."""
@@ -208,20 +210,20 @@ def iirfilter(N: int, Wn, rp: Optional[float] = None,
     if ft is None:
         raise RuntimeError(f'iirfilter: unknown ftype {ftype!r}')
     if ft == 'butter':
-        return butter(N, Wn, btype=btype, fs=fs)
+        return butter(N, Wn, btype=btype, fs=fs, output=output)
     if ft == 'cheby1':
         if rp is None:
             raise RuntimeError('iirfilter: cheby1 needs rp')
-        return cheby1(N, rp, Wn, btype=btype, fs=fs)
+        return cheby1(N, rp, Wn, btype=btype, fs=fs, output=output)
     if ft == 'cheby2':
         if rs is None:
             raise RuntimeError('iirfilter: cheby2 needs rs')
-        return cheby2(N, rs, Wn, btype=btype, fs=fs)
+        return cheby2(N, rs, Wn, btype=btype, fs=fs, output=output)
     if ft == 'ellip':
         if rp is None or rs is None:
             raise RuntimeError('iirfilter: ellip needs rp and rs')
-        return ellip(N, rp, rs, Wn, btype=btype, fs=fs)
-    return bessel(N, Wn, btype=btype, fs=fs)
+        return ellip(N, rp, rs, Wn, btype=btype, fs=fs, output=output)
+    return bessel(N, Wn, btype=btype, fs=fs, output=output)
 
 
 # --------------------------------------------------------------------------

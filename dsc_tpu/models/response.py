@@ -22,7 +22,7 @@ from .statespace import _as_ss, ss2zpk
 
 
 def iirdesign(wp, ws, gpass: float, gstop: float, ftype: str = 'ellip',
-              fs: Optional[float] = None) -> np.ndarray:
+              fs: Optional[float] = None, output: str = 'sos'):
     """Complete IIR design from a band spec (scipy.signal.iirdesign,
     output='sos'): pick the minimum order with the family's *ord
     function, then design at that order. ``ftype`` in {'butter',
@@ -40,7 +40,7 @@ def iirdesign(wp, ws, gpass: float, gstop: float, ftype: str = 'ellip',
         if wp_a.size == 1 else \
         ('bandstop' if wp_a[0] < np.atleast_1d(ws)[0] else 'bandpass')
     return iirfilter(n, wn, rp=gpass, rs=gstop, btype=btype,
-                     ftype=ftype, fs=fs)
+                     ftype=ftype, fs=fs, output=output)
 
 
 def _w_grid(worN, limit: float):

@@ -184,3 +184,31 @@ def test_ellip_filters_on_device():
     wq, h = sosfreqz(sos, worN=512)
     href = _sos_response(sos, np.asarray(wq, np.float64))
     assert np.abs(np.asarray(h) - href).max() < 1e-5
+
+
+@pytest.mark.parametrize('output', ['ba', 'zpk'])
+def test_output_forms_match_scipy(output):
+    from dsc_tpu.models import bessel, butter, iirdesign
+
+    for mine, ref, args in [
+        (butter, sps.butter, (4, 0.3)),
+        (ellip, sps.ellip, (4, 1.0, 40.0, 0.3)),
+        (bessel, sps.bessel, (4, 0.3)),
+    ]:
+        got = mine(*args, output=output)
+        want = ref(*args, output=output)
+        if output == 'ba':
+            assert np.allclose(got[0], want[0], atol=1e-12)
+            assert np.allclose(got[1], want[1], atol=1e-12)
+        else:
+            assert np.allclose(np.sort_complex(got[0]),
+                               np.sort_complex(want[0]), atol=1e-10)
+            assert np.allclose(np.sort_complex(got[1]),
+                               np.sort_complex(want[1]), atol=1e-10)
+            assert abs(got[2] - want[2]) < 1e-10
+    got = iirdesign(0.2, 0.3, 1.0, 40.0, output=output)
+    want = sps.iirdesign(0.2, 0.3, 1.0, 40.0, output=output)
+    if output == 'ba':
+        assert np.allclose(got[0], want[0], atol=1e-10)
+    with pytest.raises(RuntimeError):
+        butter(4, 0.3, output='bogus')
