@@ -227,15 +227,19 @@ def sosfilt_zi(sos) -> np.ndarray:
 
 
 def sosfiltfilt(sos, x: Tensor, padlen: Optional[int] = None,
-                method: str = 'parallel') -> Tensor:
+                padtype: str = 'odd', method: str = 'parallel') -> Tensor:
     """Zero-phase forward-backward filtering
-    (scipy.signal.sosfiltfilt semantics: odd-extension padding,
-    steady-state initial conditions scaled by the edge samples).
-    x: (n,) or (batch, n) real. The whole forward+backward pass runs as
-    one jitted program."""
+    (scipy.signal.sosfiltfilt semantics: ``padtype`` extension in
+    {'odd' (default), 'even', 'constant', None}, steady-state initial
+    conditions scaled by the edge samples). x: (n,) or (batch, n) real.
+    The whole forward+backward pass runs as one jitted program."""
     sos = _check_sos(sos)
     ns = sos.shape[0]
-    if padlen is None:
+    if padtype not in ('odd', 'even', 'constant', None):
+        raise RuntimeError(f'sosfiltfilt: unknown padtype {padtype!r}')
+    if padtype is None:
+        padlen = 0
+    elif padlen is None:
         n_fir = int(np.sum(sos[:, 2] == 0.0))
         n_iir = int(np.sum(sos[:, 5] == 0.0))
         padlen = 3 * (2 * ns + 1 - min(n_fir, n_iir))
@@ -256,16 +260,17 @@ def sosfiltfilt(sos, x: Tensor, padlen: Optional[int] = None,
     ) as tr:
         out = _sosfiltfilt_program(
             xj, jnp.asarray(As), jnp.asarray(cs), jnp.asarray(b0s),
-            jnp.asarray(zi_unit, jnp.float32), int(padlen), method,
+            jnp.asarray(zi_unit, jnp.float32), int(padlen),
+            padtype or 'odd', method,
         )
         if tr:
             tr.result = out
     return Tensor._from_jax(out if batched else out[0])
 
 
-@partial(jax.jit, static_argnames=('pl', 'method'))
-def _sosfiltfilt_program(xb, As, cs, b0s, zi_unit, pl, method):
-    """Odd-extend -> forward cascade -> reverse -> backward cascade ->
+@partial(jax.jit, static_argnames=('pl', 'padtype', 'method'))
+def _sosfiltfilt_program(xb, As, cs, b0s, zi_unit, pl, padtype, method):
+    """Extend -> forward cascade -> reverse -> backward cascade ->
     reverse -> crop, as ONE program. Every section's initial state is
     the unit-step steady state scaled by the extension's edge sample
     (scipy's x0 * sosfilt_zi(sos))."""
@@ -279,9 +284,20 @@ def _sosfiltfilt_program(xb, As, cs, b0s, zi_unit, pl, method):
                                     method=method)
         return sig
 
-    head = 2.0 * xb[:, :1] - xb[:, pl:0:-1]
-    tail = 2.0 * xb[:, -1:] - xb[:, -2 : -pl - 2 : -1]
-    ext = jnp.concatenate([head, xb, tail], axis=1)
+    if pl == 0:
+        ext = xb
+    elif padtype == 'odd':
+        head = 2.0 * xb[:, :1] - xb[:, pl:0:-1]
+        tail = 2.0 * xb[:, -1:] - xb[:, -2 : -pl - 2 : -1]
+        ext = jnp.concatenate([head, xb, tail], axis=1)
+    elif padtype == 'even':
+        head = xb[:, pl:0:-1]
+        tail = xb[:, -2 : -pl - 2 : -1]
+        ext = jnp.concatenate([head, xb, tail], axis=1)
+    else:  # constant
+        head = jnp.broadcast_to(xb[:, :1], (xb.shape[0], pl))
+        tail = jnp.broadcast_to(xb[:, -1:], (xb.shape[0], pl))
+        ext = jnp.concatenate([head, xb, tail], axis=1)
     y = cascade(ext)[:, ::-1]
     y = cascade(y)[:, ::-1]
     return y[:, pl : pl + xb.shape[1]]
@@ -339,16 +355,17 @@ def sos2tf(sos) -> tuple:
 
 
 def filtfilt(b, a, x: Tensor, padlen: Optional[int] = None,
-             method: str = 'parallel') -> Tensor:
+             padtype: str = 'odd', method: str = 'parallel') -> Tensor:
     """Zero-phase forward-backward filtering in (b, a) form
-    (scipy.signal.filtfilt semantics: odd extension, default
+    (scipy.signal.filtfilt semantics: ``padtype`` extension, default
     ``padlen = 3 * max(len(a), len(b))``), executed through the sos
     cascade of the factored transfer function."""
     bb = np.atleast_1d(np.asarray(b, np.float64))
     aa = np.atleast_1d(np.asarray(a, np.float64))
-    if padlen is None:
+    if padlen is None and padtype is not None:
         padlen = 3 * max(len(aa), len(bb))
-    return sosfiltfilt(tf2sos(bb, aa), x, padlen=padlen, method=method)
+    return sosfiltfilt(tf2sos(bb, aa), x, padlen=padlen, padtype=padtype,
+                       method=method)
 
 
 def group_delay(system, worN: int = 512, fs: float = 2.0 * np.pi):

@@ -513,3 +513,27 @@ def test_designed_filter_attenuates_stopband():
     rms_in = float(np.sqrt(np.mean(lo[512:] ** 2)))
     assert abs(steady_rms(lo) - rms_in) < 0.01 * rms_in  # passband intact
     assert steady_rms(hi) < 1e-3 * rms_in  # stopband > 60 dB down
+
+
+def test_filtfilt_padtypes_match_scipy():
+    import scipy.signal as sps
+
+    from dsc_tpu.models import butter, filtfilt, sosfiltfilt
+
+    x = (np.cumsum(np.random.default_rng(0).standard_normal(256))
+         * 0.3).astype(np.float32)
+    sos = butter(4, 0.1)
+    outs = {}
+    for pt in ('odd', 'even', 'constant', None):
+        got = sosfiltfilt(sos, dsc.from_numpy(x), padtype=pt).numpy()
+        ref = sps.sosfiltfilt(sos, x.astype(np.float64), padtype=pt)
+        assert np.abs(got - ref).max() < 2e-5 * max(np.abs(ref).max(), 1.0)
+        outs[pt] = got
+    # padtypes genuinely differ at the edges of a trending signal
+    assert np.abs(outs['odd'] - outs['even']).max() > 1e-3
+    b, a = butter(4, 0.1, output='ba')
+    got = filtfilt(b, a, dsc.from_numpy(x), padtype='even').numpy()
+    ref = sps.filtfilt(b, a, x.astype(np.float64), padtype='even')
+    assert np.abs(got - ref).max() < 2e-5 * max(np.abs(ref).max(), 1.0)
+    with pytest.raises(RuntimeError):
+        sosfiltfilt(sos, dsc.from_numpy(x), padtype='bogus')
