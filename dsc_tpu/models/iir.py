@@ -615,15 +615,30 @@ def cheby2(N: int, rs: float, Wn, btype: str = 'low',
 
 
 def decimate(x: Tensor, q: int, n: Optional[int] = None,
-             zero_phase: bool = True) -> Tensor:
-    """Downsample after an anti-aliasing Chebyshev-I lowpass
-    (scipy.signal.decimate IIR semantics: ``cheby1(n or 8, 0.05,
-    0.8/q)``, ``sosfiltfilt`` when ``zero_phase`` else ``sosfilt``, then
-    take every q-th sample)."""
+             ftype: str = 'iir', zero_phase: bool = True) -> Tensor:
+    """Downsample after an anti-aliasing lowpass (scipy.signal.decimate
+    semantics): ``ftype='iir'`` (default) filters with ``cheby1(n or 8,
+    0.05, 0.8/q)`` (``sosfiltfilt`` when ``zero_phase`` else
+    ``sosfilt``); ``'fir'`` uses a hamming-window FIR of ``n or 20*q``
+    taps through the polyphase engine. Then take every q-th sample."""
     if q < 1:
         raise RuntimeError(f'decimate: q ({q}) must be >= 1')
+    if ftype not in ('iir', 'fir'):
+        raise RuntimeError(f'decimate: unknown ftype {ftype!r}')
     if q == 1:
         return x
+    if ftype == 'fir':
+        from .fir import firwin
+        from .spectral import resample_poly, upfirdn
+
+        n_taps = (20 * q if n is None else n) + 1
+        b = firwin(n_taps, 1.0 / q, window='hamming').numpy()
+        if zero_phase:
+            return resample_poly(x, 1, q, window=b)
+        n_in = x.shape[-1]
+        n_out = n_in // q + bool(n_in % q)
+        y = upfirdn(b, x, up=1, down=q)
+        return y[:, :n_out] if y.n_dim == 2 else y[:n_out]
     sos = cheby1(8 if n is None else n, 0.05, 0.8 / q)
     y = sosfiltfilt(sos, x) if zero_phase else sosfilt(sos, x)
     return y[:, ::q] if y.n_dim == 2 else y[::q]

@@ -214,10 +214,21 @@ def resample_poly(x: Tensor, up: int, down: int,
 
     n = x.shape[-1]
     max_rate = max(up, down)
-    hl = 10 * max_rate
-    h64 = firwin(2 * hl + 1, 1.0 / max_rate, window=window,
-                 dtype=Dtype.F64)
-    h = (h64 * float(up)).cast(Dtype.F32)
+    if isinstance(window, (str, tuple)) or window is None:
+        hl = 10 * max_rate
+        h64 = firwin(2 * hl + 1, 1.0 / max_rate, window=window,
+                     dtype=Dtype.F64)
+        h = (h64 * float(up)).cast(Dtype.F32)
+        hj = h.jax
+    else:
+        # explicit FIR taps (scipy array-window semantics): the window
+        # IS the anti-alias filter, scaled by the upsampling gain
+        taps = np.asarray(window.numpy() if isinstance(window, Tensor)
+                          else window, np.float64) * float(up)
+        if taps.ndim != 1 or taps.size < 1:
+            raise RuntimeError('resample_poly: window taps must be 1-D')
+        hl = (taps.size - 1) // 2
+        hj = jnp.asarray(taps.astype(np.float32))
     n_out = -(-n * up // down)
     fft_n = fft_plan.next_pow2(n * up + 2 * hl)
     spec, tables = fft_plan.get_plan(fft_n, 'real', np.complex64)
@@ -227,7 +238,7 @@ def resample_poly(x: Tensor, up: int, down: int,
         'resample_poly', 'op;pipeline', tracing.tensor_args(x=x)
     ) as tr:
         out = _resample_poly_program(
-            xj.astype(jnp.float32), h.jax, tables, up, down, n_out, spec,
+            xj.astype(jnp.float32), hj, tables, up, down, n_out, spec,
             fft_n, hl,
         )
         if tr:

@@ -537,3 +537,26 @@ def test_filtfilt_padtypes_match_scipy():
     assert np.abs(got - ref).max() < 2e-5 * max(np.abs(ref).max(), 1.0)
     with pytest.raises(RuntimeError):
         sosfiltfilt(sos, dsc.from_numpy(x), padtype='bogus')
+
+
+def test_decimate_fir_and_array_window():
+    import scipy.signal as sps
+
+    from dsc_tpu.models import decimate, resample_poly
+
+    x = np.random.default_rng(0).standard_normal(1000).astype(np.float32)
+    for q in (2, 4, 5):
+        for zp in (True, False):
+            got = decimate(dsc.from_numpy(x), q, ftype='fir',
+                           zero_phase=zp).numpy()
+            ref = sps.decimate(x.astype(np.float64), q, ftype='fir',
+                               zero_phase=zp)
+            assert got.shape == ref.shape, (q, zp)
+            assert np.abs(got - ref).max() < 2e-6 * np.abs(ref).max()
+    h = sps.firwin(31, 0.4)
+    got = resample_poly(dsc.from_numpy(x), 2, 3, window=h).numpy()
+    ref = sps.resample_poly(x.astype(np.float64), 2, 3, window=h)
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 2e-6 * np.abs(ref).max()
+    with pytest.raises(RuntimeError):
+        decimate(dsc.from_numpy(x), 2, ftype='bogus')
