@@ -1,0 +1,206 @@
+"""dsc_tpu.transforms (scipy.fft-parity tier) — scipy.fft is the oracle.
+
+Exact-length transforms for any n (pow2 engine / Bluestein), norms,
+Hermitian family, n-D, shifts, fast-length helpers.
+"""
+
+import numpy as np
+import pytest
+import scipy.fft as sft
+
+import dsc_tpu as dsc
+from dsc_tpu import transforms as tf
+
+# pow2, even composite, odd, prime, tiny
+SIZES = [16, 12, 15, 17, 1]
+NORMS = [None, 'backward', 'ortho', 'forward']
+
+
+def _sig(n, seed=0, cplx=False):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal(n)
+    if cplx:
+        x = x + 1j * rng.standard_normal(n)
+    return x.astype(np.complex64 if cplx else np.float32)
+
+
+def _close(got, want, tol=2e-4):
+    got = np.asarray(got.numpy())
+    scale = max(np.abs(want).max(), 1e-30)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    assert np.abs(got - want).max() < tol * scale
+
+
+@pytest.mark.parametrize('n', SIZES)
+@pytest.mark.parametrize('norm', NORMS)
+def test_fft_ifft_exact(n, norm):
+    x = _sig(n, cplx=True)
+    _close(tf.fft(dsc.from_numpy(x), norm=norm), sft.fft(x, norm=norm))
+    _close(tf.ifft(dsc.from_numpy(x), norm=norm), sft.ifft(x, norm=norm))
+
+
+@pytest.mark.parametrize('n', SIZES)
+def test_fft_real_input(n):
+    x = _sig(n)
+    _close(tf.fft(dsc.from_numpy(x)), sft.fft(x))
+
+
+@pytest.mark.parametrize('n_arg', [8, 12, 20, 5])
+def test_fft_n_pad_truncate(n_arg):
+    x = _sig(13, cplx=True)
+    _close(tf.fft(dsc.from_numpy(x), n=n_arg), sft.fft(x, n=n_arg))
+
+
+@pytest.mark.parametrize('axis', [0, 1, -1, -2])
+def test_fft_axis(axis):
+    x = _sig(6 * 10, cplx=True).reshape(6, 10)
+    _close(tf.fft(dsc.from_numpy(x), axis=axis), sft.fft(x, axis=axis))
+
+
+@pytest.mark.parametrize('n', SIZES)
+@pytest.mark.parametrize('norm', NORMS)
+def test_rfft_irfft(n, norm):
+    x = _sig(n)
+    _close(tf.rfft(dsc.from_numpy(x), norm=norm), sft.rfft(x, norm=norm))
+    spec = sft.rfft(x).astype(np.complex64)
+    if n > 1:
+        _close(tf.irfft(dsc.from_numpy(spec), n=n, norm=norm),
+               sft.irfft(spec, n=n, norm=norm))
+
+
+def test_irfft_default_even():
+    spec = sft.rfft(_sig(24)).astype(np.complex64)
+    _close(tf.irfft(dsc.from_numpy(spec)), sft.irfft(spec))
+
+
+@pytest.mark.parametrize('n', [16, 15, 12])
+@pytest.mark.parametrize('norm', NORMS)
+def test_hfft_ihfft(n, norm):
+    m = n // 2 + 1
+    spec = _sig(m, cplx=True)
+    _close(tf.hfft(dsc.from_numpy(spec), n=n, norm=norm),
+           sft.hfft(spec, n=n, norm=norm))
+    x = _sig(n, seed=3)
+    _close(tf.ihfft(dsc.from_numpy(x), norm=norm), sft.ihfft(x, norm=norm))
+
+
+def test_roundtrips():
+    x = _sig(15, cplx=True)
+    _close(tf.ifft(tf.fft(dsc.from_numpy(x))), x.astype(np.complex128))
+    xr = _sig(18)
+    _close(tf.irfft(tf.rfft(dsc.from_numpy(xr)), n=18),
+           xr.astype(np.float64))
+
+
+@pytest.mark.parametrize('shape,axes,s', [
+    ((6, 10), None, None),
+    ((6, 10), (0,), None),
+    ((6, 10), (-2, -1), (4, 12)),
+    ((3, 5, 8), (1, 2), None),
+    ((3, 5, 8), None, (2, 6, 8)),
+])
+@pytest.mark.parametrize('norm', [None, 'ortho'])
+def test_fftn_ifftn(shape, axes, s, norm):
+    x = _sig(int(np.prod(shape)), cplx=True).reshape(shape)
+    _close(tf.fftn(dsc.from_numpy(x), s=s, axes=axes, norm=norm),
+           sft.fftn(x, s=s, axes=axes, norm=norm))
+    _close(tf.ifftn(dsc.from_numpy(x), s=s, axes=axes, norm=norm),
+           sft.ifftn(x, s=s, axes=axes, norm=norm))
+
+
+@pytest.mark.parametrize('shape', [(6, 10), (4, 9)])
+@pytest.mark.parametrize('norm', [None, 'ortho'])
+def test_fft2_rfft2_irfft2(shape, norm):
+    x = _sig(int(np.prod(shape))).reshape(shape)
+    _close(tf.fft2(dsc.from_numpy(x), norm=norm), sft.fft2(x, norm=norm))
+    _close(tf.rfft2(dsc.from_numpy(x), norm=norm), sft.rfft2(x, norm=norm))
+    spec = sft.rfft2(x).astype(np.complex64)
+    _close(tf.irfft2(dsc.from_numpy(spec), s=shape, norm=norm),
+           sft.irfft2(spec, s=shape, norm=norm))
+
+
+def test_rfftn_irfftn_3d():
+    x = _sig(3 * 5 * 8).reshape(3, 5, 8)
+    _close(tf.rfftn(dsc.from_numpy(x)), sft.rfftn(x))
+    spec = sft.rfftn(x).astype(np.complex64)
+    _close(tf.irfftn(dsc.from_numpy(spec), s=(3, 5, 8)),
+           sft.irfftn(spec, s=(3, 5, 8)))
+
+
+def test_hfft2_ihfft2():
+    x = _sig(5 * 9, cplx=True).reshape(5, 9)
+    _close(tf.hfft2(dsc.from_numpy(x), s=(5, 16)),
+           sft.hfft2(x, s=(5, 16)))
+    xr = _sig(5 * 16, seed=2).reshape(5, 16)
+    _close(tf.ihfft2(dsc.from_numpy(xr)), sft.ihfft2(xr))
+
+
+@pytest.mark.parametrize('shape,axes', [
+    ((8,), None), ((9,), None), ((6, 10), None), ((6, 9), (1,)),
+    ((5, 7), 0),
+])
+def test_fftshift_ifftshift(shape, axes):
+    x = _sig(int(np.prod(shape)), cplx=True).reshape(shape)
+    _close(tf.fftshift(dsc.from_numpy(x), axes=axes),
+           sft.fftshift(x, axes=axes))
+    _close(tf.ifftshift(dsc.from_numpy(x), axes=axes),
+           sft.ifftshift(x, axes=axes))
+    # real input path
+    xr = _sig(int(np.prod(shape)), seed=1).reshape(shape)
+    _close(tf.fftshift(dsc.from_numpy(xr), axes=axes),
+           sft.fftshift(xr, axes=axes))
+
+
+def test_shift_roundtrip_odd():
+    x = _sig(11)
+    got = tf.ifftshift(tf.fftshift(dsc.from_numpy(x)))
+    assert np.allclose(got.numpy(), x)
+
+
+def test_fftfreq_rfftfreq():
+    assert np.allclose(tf.fftfreq(10, 0.25).numpy(), sft.fftfreq(10, 0.25),
+                       atol=1e-6)
+    assert np.allclose(tf.rfftfreq(9, 2.0).numpy(), sft.rfftfreq(9, 2.0),
+                       atol=1e-6)
+
+
+def test_fast_len():
+    # engine-truthful answer: next/prev power of two (radix-2 engine),
+    # documented divergence from scipy's 5-smooth lengths
+    assert tf.next_fast_len(1000) == 1024
+    assert tf.next_fast_len(1024) == 1024
+    assert tf.next_fast_len(1) == 1
+    assert tf.prev_fast_len(1000) == 512
+    assert tf.prev_fast_len(1024) == 1024
+    assert tf.prev_fast_len(1) == 1
+
+
+def test_errors():
+    x = dsc.from_numpy(_sig(8))
+    with pytest.raises(RuntimeError):
+        tf.fft(x, norm='bogus')
+    with pytest.raises(RuntimeError):
+        tf.fft(x, axis=2)
+    with pytest.raises(RuntimeError):
+        tf.rfft(dsc.from_numpy(_sig(8, cplx=True)))
+    with pytest.raises(RuntimeError):
+        tf.fftn(x, s=(4, 4), axes=(0,))
+    with pytest.raises(RuntimeError):
+        tf.next_fast_len(0)
+
+
+def test_large_pow2_rides_engine():
+    # a 2^16 exact transform must go through the pow2 planar engine path
+    x = _sig(2**16)
+    got = tf.rfft(dsc.from_numpy(x))
+    want = sft.rfft(x)
+    scale = np.abs(want).max()
+    assert np.abs(got.numpy() - want).max() < 1e-4 * scale
+
+
+def test_plan_cache_bounded():
+    from dsc_tpu.transforms import _dft
+
+    for n in range(20, 60):
+        _dft.dft_plan(n)
+    assert len(_dft._plans) <= 16
