@@ -8,6 +8,21 @@ is the executable spec (tests/test_transforms.py); powers of two ride
 the planar FFT engine, everything else Bluestein (_dft.py).
 """
 
+from .fftlog import (
+    fht,
+    fhtoffset,
+    ifht,
+)
+from .trig import (
+    dct,
+    dctn,
+    dst,
+    dstn,
+    idct,
+    idctn,
+    idst,
+    idstn,
+)
 from .exact import (
     fft,
     fft2,
@@ -41,4 +56,7 @@ __all__ = [
     'fftn', 'ifftn', 'rfftn', 'irfftn', 'hfftn', 'ihfftn',
     'fftshift', 'ifftshift', 'fftfreq', 'rfftfreq',
     'next_fast_len', 'prev_fast_len',
+    'dct', 'idct', 'dst', 'idst',
+    'dctn', 'idctn', 'dstn', 'idstn',
+    'fht', 'ifht', 'fhtoffset',
 ]

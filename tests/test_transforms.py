@@ -204,3 +204,125 @@ def test_plan_cache_bounded():
     for n in range(20, 60):
         _dft.dft_plan(n)
     assert len(_dft._plans) <= 16
+
+
+# --------------------------------------------------------------------------
+# DCT/DST (trig.py) — scipy.fft.dct/dst/idct/idst are the oracle
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize('n', [16, 12, 7, 1])
+@pytest.mark.parametrize('type_', [1, 2, 3, 4])
+def test_dct_dst_types(n, type_):
+    if type_ == 1 and n < 2:
+        return
+    x = _sig(n, seed=3)
+    x64 = x.astype(np.float64)
+    _close(tf.dct(dsc.from_numpy(x), type=type_),
+           sft.dct(x64, type=type_))
+    _close(tf.dst(dsc.from_numpy(x), type=type_),
+           sft.dst(x64, type=type_))
+
+
+@pytest.mark.parametrize('norm', NORMS)
+@pytest.mark.parametrize('type_', [1, 2, 3, 4])
+def test_dct_dst_norms_and_inverse(norm, type_):
+    n = 11
+    x = _sig(n, seed=4)
+    x64 = x.astype(np.float64)
+    _close(tf.dct(dsc.from_numpy(x), type=type_, norm=norm),
+           sft.dct(x64, type=type_, norm=norm))
+    _close(tf.idct(dsc.from_numpy(x), type=type_, norm=norm),
+           sft.idct(x64, type=type_, norm=norm))
+    _close(tf.idst(dsc.from_numpy(x), type=type_, norm=norm),
+           sft.idst(x64, type=type_, norm=norm))
+
+
+@pytest.mark.parametrize('type_', [1, 2, 3, 4])
+def test_dct_roundtrip(type_):
+    x = _sig(24, seed=5)
+    got = tf.idct(tf.dct(dsc.from_numpy(x), type=type_), type=type_)
+    _close(got, x.astype(np.float64))
+    got = tf.idst(tf.dst(dsc.from_numpy(x), type=type_), type=type_)
+    _close(got, x.astype(np.float64))
+
+
+def test_dct_axis_n_orthogonalize():
+    x = _sig(4 * 6 * 5, seed=6).reshape(4, 6, 5)
+    x64 = x.astype(np.float64)
+    _close(tf.dct(dsc.from_numpy(x), type=2, n=9, axis=1,
+                  orthogonalize=True),
+           sft.dct(x64, type=2, n=9, axis=1, orthogonalize=True))
+    _close(tf.dst(dsc.from_numpy(x), type=3, n=4, axis=0, norm='ortho',
+                  orthogonalize=False),
+           sft.dst(x64, type=3, n=4, axis=0, norm='ortho',
+                   orthogonalize=False))
+
+
+def test_dct_complex_input():
+    z = _sig(12, seed=7, cplx=True)
+    _close(tf.dct(dsc.from_numpy(z), type=2, norm='ortho'),
+           sft.dct(z.astype(np.complex128), type=2, norm='ortho'))
+    _close(tf.dst(dsc.from_numpy(z), type=3),
+           sft.dst(z.astype(np.complex128), type=3))
+
+
+def test_dctn_dstn():
+    x = _sig(4 * 6 * 5, seed=8).reshape(4, 6, 5)
+    x64 = x.astype(np.float64)
+    _close(tf.dctn(dsc.from_numpy(x), type=3, s=(5, 4), axes=(0, 2),
+                   norm='ortho'),
+           sft.dctn(x64, type=3, s=(5, 4), axes=(0, 2), norm='ortho'))
+    _close(tf.idctn(dsc.from_numpy(x), type=2),
+           sft.idctn(x64, type=2))
+    _close(tf.dstn(dsc.from_numpy(x), type=2, axes=(1,)),
+           sft.dstn(x64, type=2, axes=(1,)))
+    _close(tf.idstn(dsc.from_numpy(x), type=4, norm='forward'),
+           sft.idstn(x64, type=4, norm='forward'))
+
+
+def test_dct_errors():
+    x = dsc.from_numpy(_sig(8))
+    with pytest.raises(RuntimeError):
+        tf.dct(x, type=5)
+    with pytest.raises(RuntimeError):
+        tf.dct(_sig(1), type=1)
+    with pytest.raises(RuntimeError):
+        tf.dst(x, norm='bogus')
+
+
+# --------------------------------------------------------------------------
+# fht/ifht/fhtoffset (fftlog.py) — scipy.fft FFTLog is the oracle
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize('n', [16, 15])
+@pytest.mark.parametrize('mu', [0.0, 0.5, 2.0])
+def test_fht_ifht(n, mu):
+    a = _sig(n, seed=9).astype(np.float32)
+    a64 = a.astype(np.float64)
+    dln = 0.1
+    _close(tf.fht(dsc.from_numpy(a), dln, mu), sft.fht(a64, dln, mu))
+    _close(tf.ifht(dsc.from_numpy(a), dln, mu), sft.ifht(a64, dln, mu))
+
+
+def test_fht_offset_bias_batched():
+    rng = np.random.default_rng(10)
+    a = rng.standard_normal((3, 16)).astype(np.float32)
+    a64 = a.astype(np.float64)
+    dln, mu, bias = 0.08, 0.5, 0.4
+    off = tf.fhtoffset(dln, mu, initial=0.2, bias=bias)
+    assert abs(off - sft.fhtoffset(dln, mu, initial=0.2, bias=bias)) < 1e-12
+    _close(tf.fht(dsc.from_numpy(a), dln, mu, offset=off, bias=bias),
+           sft.fht(a64, dln, mu, offset=off, bias=bias))
+    _close(tf.ifht(dsc.from_numpy(a), dln, mu, offset=off, bias=bias),
+           sft.ifht(a64, dln, mu, offset=off, bias=bias))
+
+
+def test_fht_roundtrip():
+    a = _sig(32, seed=11)
+    dln, mu = 0.05, 1.0
+    off = tf.fhtoffset(dln, mu)
+    got = tf.ifht(tf.fht(dsc.from_numpy(a), dln, mu, offset=off),
+                  dln, mu, offset=off)
+    _close(got, a.astype(np.float64))
