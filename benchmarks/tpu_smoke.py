@@ -430,6 +430,32 @@ def main() -> int:
     ok &= check('lombscargle (f64 phase on device)',
                 np.abs(gls - rls).max() / np.abs(rls).max(), 1e-5)
 
+    # scipy.fft-parity tier: exact-length (Bluestein) DFT, DCT/DST,
+    # FFTLog Hankel — the trig/chirp twiddle paths on compiled kernels
+    import scipy.fft as sft
+
+    from dsc_tpu import transforms as tfm
+
+    xe = rng.standard_normal((4, 1000)).astype(np.float32)  # non-pow2
+    xe64 = xe.astype(np.float64)
+    ze = tfm.fft(dsc.from_numpy(xe))
+    re = sft.fft(xe64)
+    ok &= check('transforms.fft exact n=1000 (Bluestein)',
+                np.abs(ze.numpy() - re).max() / np.abs(re).max(), 1e-4)
+    yd = tfm.dct(dsc.from_numpy(xe), type=2, norm='ortho')
+    rd = sft.dct(xe64, type=2, norm='ortho')
+    ok &= check('transforms.dct-II ortho n=1000',
+                np.abs(yd.numpy() - rd).max() / np.abs(rd).max(), 1e-4)
+    ys = tfm.dst(dsc.from_numpy(xe), type=4)
+    rs = sft.dst(xe64, type=4)
+    ok &= check('transforms.dst-IV n=1000',
+                np.abs(ys.numpy() - rs).max() / np.abs(rs).max(), 1e-4)
+    offh = tfm.fhtoffset(0.05, 0.5)
+    yh = tfm.fht(dsc.from_numpy(xe[:, :512]), 0.05, 0.5, offset=offh)
+    rh = sft.fht(xe64[:, :512], 0.05, 0.5, offset=offh)
+    ok &= check('transforms.fht (FFTLog, low-ringing offset)',
+                np.abs(yh.numpy() - rh).max() / np.abs(rh).max(), 1e-4)
+
     with open(RESULTS_PATH, 'w') as f:
         json.dump({'ok': bool(ok), 'n_checks': len(rows),
                    'backend': backend,

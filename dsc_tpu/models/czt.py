@@ -86,6 +86,8 @@ class CZT:
 
         self._run = _run
 
+        self._w, self._a = w, a
+
     def __call__(self, x: Tensor) -> Tensor:
         if x.n_dim not in (1, 2):
             raise RuntimeError(
@@ -99,6 +101,13 @@ class CZT:
             x = x.cast(Dtype.C32)
         return self._run(x, self._pre, self._vspec, self._post)
 
+    def points(self) -> np.ndarray:
+        """The m z-plane points this transform evaluates at
+        (scipy.signal.CZT.points = czt_points(m, w, a))."""
+        from .response import czt_points
+
+        return czt_points(self.m, self._w, self._a)
+
 
 def czt(x: Tensor, m: Optional[int] = None, w=None,
         a: complex = 1 + 0j) -> Tensor:
@@ -107,24 +116,36 @@ def czt(x: Tensor, m: Optional[int] = None, w=None,
     return CZT(x.shape[-1], m=m, w=w, a=a)(x)
 
 
+class ZoomFFT(CZT):
+    """Pre-planned zoomed DFT (scipy.signal.ZoomFFT semantics): evaluate
+    the spectrum of length-n signals only on [f1, f2] at m points, as a
+    chirp-z transform with ``w = exp(-2j*pi*(f2-f1)/(fs*m'))`` and
+    ``a = exp(2j*pi*f1/fs)``."""
+
+    def __init__(self, n: int, fn, m: Optional[int] = None, *,
+                 fs: float = 2.0, endpoint: bool = False):
+        fn_arr = np.atleast_1d(np.asarray(fn, np.float64))
+        if fn_arr.size == 1:
+            f1, f2 = 0.0, float(fn_arr[0])
+        elif fn_arr.size == 2:
+            f1, f2 = float(fn_arr[0]), float(fn_arr[1])
+        else:
+            raise RuntimeError('ZoomFFT: fn must be a scalar or [f1, f2]')
+        m = n if m is None else m
+        if m < 2:
+            raise RuntimeError(f'ZoomFFT: m ({m}) must be >= 2')
+        scale = (((f2 - f1) * m) / (fs * (m - 1)) if endpoint
+                 else (f2 - f1) / fs)
+        w = np.exp(-2j * np.pi * scale / m)
+        a = np.exp(2j * np.pi * f1 / fs)
+        super().__init__(n, m=m, w=w, a=a)
+        self.f1, self.f2, self.fs = f1, f2, fs
+
+
 def zoom_fft(x: Tensor, fn, m: Optional[int] = None, fs: float = 2.0,
              endpoint: bool = False) -> Tensor:
     """Zoomed DFT: evaluate the spectrum only on [f1, f2]
     (scipy.signal.zoom_fft semantics: ``fn`` a scalar meaning [0, fn] or
     a pair [f1, f2], frequencies in units of ``fs``; ``endpoint``
     includes f2 as the last sample)."""
-    n = x.shape[-1]
-    fn_arr = np.atleast_1d(np.asarray(fn, np.float64))
-    if fn_arr.size == 1:
-        f1, f2 = 0.0, float(fn_arr[0])
-    elif fn_arr.size == 2:
-        f1, f2 = float(fn_arr[0]), float(fn_arr[1])
-    else:
-        raise RuntimeError('zoom_fft: fn must be a scalar or [f1, f2]')
-    m = n if m is None else m
-    if m < 2:
-        raise RuntimeError(f'zoom_fft: m ({m}) must be >= 2')
-    scale = ((f2 - f1) * m) / (fs * (m - 1)) if endpoint else (f2 - f1) / fs
-    w = np.exp(-2j * np.pi * scale / m)
-    a = np.exp(2j * np.pi * f1 / fs)
-    return CZT(n, m=m, w=w, a=a)(x)
+    return ZoomFFT(x.shape[-1], fn, m=m, fs=fs, endpoint=endpoint)(x)

@@ -289,6 +289,42 @@ def _golden_max(f, lo: float, hi: float) -> float:
     return (a + b) / 2.0
 
 
+def band_stop_obj(wp, ind, passb, stopb, gpass, gstop, type):
+    """Band-stop objective function for order minimization
+    (scipy.signal.band_stop_obj semantics): the non-integer analog
+    filter order when passband edge ``ind`` (0 or 1) of the pre-warped
+    edge array ``passb`` is moved to ``wp``. ``type`` is 'butter',
+    'cheby' or 'ellip'. The internal *ord optimizers use the
+    equivalent-lowpass-selectivity formulation (_optimize_bandstop_edges
+    — every family's order is strictly decreasing in selectivity); this
+    public function evaluates the order itself, scipy-faithfully."""
+    passb = np.asarray(passb, np.float64).copy()
+    stopb = np.asarray(stopb, np.float64)
+    passb[int(ind)] = float(wp)
+    nat = (stopb * (passb[0] - passb[1])
+           / (stopb ** 2 - passb[0] * passb[1]))
+    nat = float(np.min(np.abs(nat)))
+    if type == 'butter':
+        gs = 10.0 ** (0.1 * abs(gstop))
+        gp = 10.0 ** (0.1 * abs(gpass))
+        return float(np.log10((gs - 1.0) / (gp - 1.0))
+                     / (2.0 * np.log10(nat)))
+    if type == 'cheby':
+        gs = 10.0 ** (0.1 * abs(gstop))
+        gp = 10.0 ** (0.1 * abs(gpass))
+        return float(np.arccosh(np.sqrt((gs - 1.0) / (gp - 1.0)))
+                     / np.arccosh(nat))
+    if type == 'ellip':
+        gs = 10.0 ** (0.1 * gstop)
+        gp = 10.0 ** (0.1 * gpass)
+        arg1 = np.sqrt((gp - 1.0) / (gs - 1.0))
+        arg0 = 1.0 / nat
+        return float(
+            _ellipk(arg0) * _ellipk(np.sqrt(1.0 - arg1 * arg1))
+            / (_ellipk(np.sqrt(1.0 - arg0 * arg0)) * _ellipk(arg1)))
+    raise RuntimeError(f'band_stop_obj: incorrect type {type!r}')
+
+
 def _optimize_bandstop_edges(wp, ws):
     """For bandstop specs the DESIGN passband edges may sit anywhere
     between the requested edges and the stopband (the design still meets

@@ -10,9 +10,17 @@ executable spec and test oracle.
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 
 from .iir import _zpk2sos, _check_sos
+
+
+class BadCoefficients(UserWarning):
+    """Warning about badly conditioned filter coefficients
+    (scipy.signal.BadCoefficients parity): emitted when ``normalize``
+    strips near-zero leading numerator coefficients."""
 
 
 def normalize(b, a):
@@ -38,6 +46,10 @@ def normalize(b, a):
     k = 0
     while k < bn.size - 1 and abs(bn[k]) <= 1e-14 * scale:
         k += 1
+    if k:
+        warnings.warn('Badly conditioned filter coefficients (numerator): '
+                      'the results may be meaningless', BadCoefficients,
+                      stacklevel=2)
     bn = bn[k:]
     if bn.size == 1 and abs(bn[0]) <= 1e-14 * scale:
         bn = np.zeros(1)

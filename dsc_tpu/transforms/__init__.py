@@ -25,6 +25,8 @@ from .trig import (
 )
 from .exact import (
     fft,
+    get_workers,
+    set_workers,
     fft2,
     fftfreq,
     fftn,
@@ -59,4 +61,5 @@ __all__ = [
     'dct', 'idct', 'dst', 'idst',
     'dctn', 'idctn', 'dstn', 'idstn',
     'fht', 'ifht', 'fhtoffset',
+    'get_workers', 'set_workers',
 ]

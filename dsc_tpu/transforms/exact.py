@@ -470,3 +470,37 @@ def prev_fast_len(target: int, real: bool = False) -> int:
     if target < 1:
         raise RuntimeError(f'prev_fast_len: target ({target}) must be >= 1')
     return 1 << (target.bit_length() - 1)
+
+
+# --------------------------------------------------------------------------
+# workers context (scipy.fft.set_workers/get_workers parity)
+# --------------------------------------------------------------------------
+
+import contextlib as _contextlib
+import threading as _threading
+
+_workers_local = _threading.local()
+
+
+def get_workers() -> int:
+    """Current workers-context value (scipy.fft.get_workers parity;
+    default 1). On TPU the XLA runtime owns intra-op parallelism, so the
+    value is advisory — honored as the API contract, not a thread pool."""
+    return getattr(_workers_local, 'value', 1)
+
+
+@_contextlib.contextmanager
+def set_workers(workers: int):
+    """Context manager mirroring scipy.fft.set_workers: everything inside
+    sees ``get_workers() == workers``. XLA already parallelizes every
+    transform across the chip's compute units; this exists so code
+    written against scipy.fft ports over unchanged."""
+    workers = int(workers)
+    if workers == 0:
+        raise RuntimeError('tf.set_workers: workers must not be zero')
+    prev = get_workers()
+    _workers_local.value = workers
+    try:
+        yield
+    finally:
+        _workers_local.value = prev

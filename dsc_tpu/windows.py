@@ -516,6 +516,12 @@ def flattop(n: int, sym: bool = True, dtype: Dtype = Dtype.F32) -> Tensor:
     return _scipy_style_window('flattop', n, (), sym, dtype)
 
 
+def hann(n: int, sym: bool = True, dtype: Dtype = Dtype.F32) -> Tensor:
+    """Hann window (scipy.signal.windows.hann: raised cosine; ``sym=True``
+    matches np.hanning, ``sym=False`` is the periodic DFT-even form)."""
+    return _scipy_style_window('hann', n, (), sym, dtype)
+
+
 def blackmanharris(n: int, sym: bool = True,
                    dtype: Dtype = Dtype.F32) -> Tensor:
     """4-term Blackman-Harris window (-92 dB sidelobes)."""

@@ -91,3 +91,19 @@ def test_czt_rejects_bad_args():
         CZT(8)(x)  # planned length mismatch
     with pytest.raises(RuntimeError):
         zoom_fft(x, [0.1, 0.2, 0.3])
+
+
+def test_zoomfft_class_and_points():
+    from dsc_tpu import models
+
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal(64).astype(np.float32)
+    zf = models.ZoomFFT(64, [0.1, 0.4], m=33, fs=2.0)
+    ref = sps.ZoomFFT(64, [0.1, 0.4], m=33, fs=2)
+    got = zf(dsc.from_numpy(x)).numpy()
+    exp = ref(x.astype(np.float64))
+    assert np.abs(got - exp).max() < 1e-4 * np.abs(exp).max()
+    assert np.abs(zf.points() - ref.points()).max() < 1e-12
+    c = models.CZT(64, 20, w=0.99 * np.exp(-2j * np.pi / 30), a=1.1)
+    cr = sps.CZT(64, 20, w=0.99 * np.exp(-2j * np.pi / 30), a=1.1)
+    assert np.abs(c.points() - cr.points()).max() < 1e-12

@@ -212,3 +212,18 @@ def test_output_forms_match_scipy(output):
         assert np.allclose(got[0], want[0], atol=1e-10)
     with pytest.raises(RuntimeError):
         butter(4, 0.3, output='bogus')
+
+
+def test_band_stop_obj_public():
+    from dsc_tpu.models import band_stop_obj
+
+    passb = np.array([0.3, 2.0])
+    stopb = np.array([0.5, 1.2])
+    for typ, wp, ind, gp, gs in [('butter', 0.3, 0, 1.0, 40.0),
+                                 ('cheby', 1.8, 1, 2.0, 30.0),
+                                 ('ellip', 0.28, 0, 1.0, 40.0)]:
+        got = band_stop_obj(wp, ind, passb, stopb, gp, gs, typ)
+        exp = sps.band_stop_obj(wp, ind, passb, stopb, gp, gs, typ)
+        assert abs(got - exp) < 1e-10 * max(1.0, abs(exp))
+    with pytest.raises(RuntimeError):
+        band_stop_obj(0.3, 0, passb, stopb, 1.0, 40.0, 'bogus')

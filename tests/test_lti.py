@@ -106,3 +106,15 @@ def test_deconvolve_matches_scipy():
 def test_unit_impulse():
     for args in [(7,), (7, 'mid'), ((3, 3), (1, 2)), (5, 2)]:
         assert np.array_equal(unit_impulse(*args), sps.unit_impulse(*args))
+
+
+def test_bad_coefficients_warning():
+    import warnings
+
+    from dsc_tpu.models import BadCoefficients, normalize
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter('always')
+        b, a = normalize([0.0, 1.0], [2.0, 0.5])
+    assert any(issubclass(r.category, BadCoefficients) for r in rec)
+    assert np.allclose(b, [0.5]) and np.allclose(a, [1.0, 0.25])

@@ -326,3 +326,16 @@ def test_fht_roundtrip():
     got = tf.ifht(tf.fht(dsc.from_numpy(a), dln, mu, offset=off),
                   dln, mu, offset=off)
     _close(got, a.astype(np.float64))
+
+
+def test_workers_context():
+    assert tf.get_workers() == 1
+    with tf.set_workers(4):
+        assert tf.get_workers() == 4
+        with tf.set_workers(-1):
+            assert tf.get_workers() == -1
+    assert tf.get_workers() == 1
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        with tf.set_workers(0):
+            pass

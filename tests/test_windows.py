@@ -138,3 +138,13 @@ def test_firwin_accepts_scipy_window_names():
     ref = sps.firwin(64, 0.25, window=('chebwin', 70.0))
     got = models.firwin(64, 0.25, window=('chebwin', 70.0)).numpy()
     assert np.abs(got - ref).max() < 2e-6
+
+
+def test_hann_public():
+    import scipy.signal.windows as w
+
+    from dsc_tpu.windows import hann
+
+    for sym in (True, False):
+        got = hann(33, sym=sym).numpy()
+        assert np.abs(got - w.hann(33, sym=sym)).max() < 1e-6
