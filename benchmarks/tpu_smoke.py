@@ -456,6 +456,32 @@ def main() -> int:
     ok &= check('transforms.fht (FFTLog, low-ringing offset)',
                 np.abs(yh.numpy() - rh).max() / np.abs(rh).max(), 1e-4)
 
+    # CWT + ShortTimeFFT on compiled kernels (VERDICT r3 item 1: the two
+    # model-tier families the round-3 smoke never exercised on-chip)
+    from scipy.signal._peak_finding import _cwt as sp_cwt
+    from scipy.signal._peak_finding import _ricker as sp_ricker
+
+    from dsc_tpu.models import ShortTimeFFT, cwt, ricker
+
+    xcw = rng.standard_normal(2048).astype(np.float32)
+    wid = np.arange(1, 17).astype(np.float64)
+    gcw = cwt(dsc.from_numpy(xcw), ricker, wid).numpy()
+    rcw = sp_cwt(xcw.astype(np.float64), sp_ricker, wid)
+    ok &= check('cwt ricker 2048 x 16 widths (batched FFT)',
+                np.abs(gcw - rcw).max() / np.abs(rcw).max(), 1e-3)
+    SFT = ShortTimeFFT(sps.get_window('hann', 256).astype(np.float64),
+                       hop=64, fs=1000.0)
+    xst = rng.standard_normal(4000).astype(np.float32)
+    Sst = SFT.stft(dsc.from_numpy(xst))
+    SFT_ref = sps.ShortTimeFFT(sps.get_window('hann', 256), hop=64,
+                               fs=1000.0)
+    Sref = SFT_ref.stft(xst.astype(np.float64))
+    ok &= check('ShortTimeFFT.stft hann-256/64',
+                np.abs(Sst.numpy() - Sref).max() / np.abs(Sref).max(), 1e-4)
+    xrt = SFT.istft(Sst, k1=len(xst)).numpy()
+    ok &= check('ShortTimeFFT istft(stft) roundtrip',
+                np.abs(xrt - xst).max(), 1e-4)
+
     with open(RESULTS_PATH, 'w') as f:
         json.dump({'ok': bool(ok), 'n_checks': len(rows),
                    'backend': backend,

@@ -45,7 +45,7 @@ class CZT:
     the exact length-n DFT when m == n and a == 1."""
 
     def __init__(self, n: int, m: Optional[int] = None, w=None,
-                 a: complex = 1 + 0j):
+                 a: complex = 1 + 0j, *, _angle_scale: Optional[float] = None):
         if n < 1:
             raise RuntimeError(f'CZT: n ({n}) must be >= 1')
         m = n if m is None else m
@@ -55,11 +55,28 @@ class CZT:
         k_pre = np.arange(n, dtype=np.int64)
         k_conv = np.arange(-(n - 1), m, dtype=np.int64)  # length n+m-1
         k_post = np.arange(m, dtype=np.int64)
-        if w is None:
+        if w is None and _angle_scale is None:
             # exact unit-circle chirp: w^(k^2/2) = exp(-1j*pi*k^2/m)
             wk2_pre = _unit_chirp(k_pre**2, m, -1.0)
             v = _unit_chirp(k_conv**2, m, +1.0)
             wk2_post = _unit_chirp(k_post**2, m, -1.0)
+        elif _angle_scale is not None:
+            # ZoomFFT hook: w = exp(-2j*pi*scale/m) given as the f64 angle
+            # ratio ``scale`` so the chirp phase is built DIRECTLY as
+            # pi*scale*k^2/m (scipy ZoomFFT's wk2) — powering the rounded
+            # complex w compounds its rounding by k^2 and is wrong past
+            # n ~ 1e6. k^2 stays an exact int64 (< 2^53 for any feasible
+            # plan), so the only roundings are the two f64 multiplies.
+            scale = float(_angle_scale)
+            w = np.exp(-2j * np.pi * scale / m)
+
+            def _zoom_chirp(idx, sign):
+                return np.exp(sign * 1j * np.pi * scale
+                              * idx.astype(np.float64) ** 2 / m)
+
+            wk2_pre = _zoom_chirp(k_pre, -1.0)
+            v = _zoom_chirp(k_conv, +1.0)
+            wk2_post = _zoom_chirp(k_post, -1.0)
         else:
             w = complex(w)
             wk2_pre = w ** (k_pre.astype(np.float64) ** 2 / 2.0)
@@ -132,13 +149,16 @@ class ZoomFFT(CZT):
         else:
             raise RuntimeError('ZoomFFT: fn must be a scalar or [f1, f2]')
         m = n if m is None else m
-        if m < 2:
-            raise RuntimeError(f'ZoomFFT: m ({m}) must be >= 2')
+        if m < 1:
+            raise RuntimeError(f'ZoomFFT: m ({m}) must be >= 1')
+        if endpoint and m < 2:
+            # the m-1 divisor below only exists with endpoint=True
+            raise RuntimeError(
+                f'ZoomFFT: m ({m}) must be >= 2 when endpoint=True')
         scale = (((f2 - f1) * m) / (fs * (m - 1)) if endpoint
                  else (f2 - f1) / fs)
-        w = np.exp(-2j * np.pi * scale / m)
         a = np.exp(2j * np.pi * f1 / fs)
-        super().__init__(n, m=m, w=w, a=a)
+        super().__init__(n, m=m, a=a, _angle_scale=scale)
         self.f1, self.f2, self.fs = f1, f2, fs
 
 

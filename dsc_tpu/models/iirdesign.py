@@ -289,6 +289,20 @@ def _golden_max(f, lo: float, hi: float) -> float:
     return (a + b) / 2.0
 
 
+def _validate_gpass_gstop(gpass: float, gstop: float) -> None:
+    """scipy.signal._filter_design._validate_gpass_gstop semantics:
+    both ripples must be positive dB values with gpass < gstop."""
+    if gpass <= 0.0:
+        raise RuntimeError(f'gpass should be larger than 0.0, got {gpass}')
+    if gstop <= 0.0:
+        raise RuntimeError(f'gstop should be larger than 0.0, got {gstop}')
+    if gpass > gstop:
+        raise RuntimeError(
+            f'gpass should be smaller than gstop, got gpass={gpass}, '
+            f'gstop={gstop}'
+        )
+
+
 def band_stop_obj(wp, ind, passb, stopb, gpass, gstop, type):
     """Band-stop objective function for order minimization
     (scipy.signal.band_stop_obj semantics): the non-integer analog
@@ -298,6 +312,7 @@ def band_stop_obj(wp, ind, passb, stopb, gpass, gstop, type):
     equivalent-lowpass-selectivity formulation (_optimize_bandstop_edges
     — every family's order is strictly decreasing in selectivity); this
     public function evaluates the order itself, scipy-faithfully."""
+    _validate_gpass_gstop(gpass, gstop)
     passb = np.asarray(passb, np.float64).copy()
     stopb = np.asarray(stopb, np.float64)
     passb[int(ind)] = float(wp)
@@ -352,6 +367,7 @@ def buttord(wp, ws, gpass: float, gstop: float,
     >= gstop dB stopband attenuation (scipy.signal.buttord semantics).
     Returns (N, Wn) with Wn placed so the stopband spec is met exactly
     (scipy's choice); feed to :func:`butter`."""
+    _validate_gpass_gstop(gpass, gstop)
     wp, ws, btype = _ord_prepare(wp, ws, fs, 'buttord')
     if btype == 'bandstop':
         wp = _optimize_bandstop_edges(wp, ws)
@@ -389,6 +405,7 @@ def cheb1ord(wp, ws, gpass: float, gstop: float,
     returns (N, Wn=passband edge — for bandstop the edges moved inward
     to the order-minimizing positions, scipy semantics) for
     :func:`cheby1`."""
+    _validate_gpass_gstop(gpass, gstop)
     wp, ws, btype = _ord_prepare(wp, ws, fs, 'cheb1ord')
     if btype == 'bandstop':
         wp = _optimize_bandstop_edges(wp, ws)
@@ -406,6 +423,7 @@ def cheb2ord(wp, ws, gpass: float, gstop: float,
     """Minimum Chebyshev-II order for the spec (scipy.signal.cheb2ord);
     returns (N, Wn) placed so gstop is met exactly at order N (scipy
     construction) for :func:`cheby2`."""
+    _validate_gpass_gstop(gpass, gstop)
     wp, ws, btype = _ord_prepare(wp, ws, fs, 'cheb2ord')
     if btype == 'bandstop':
         wp = _optimize_bandstop_edges(wp, ws)
@@ -441,6 +459,7 @@ def ellipord(wp, ws, gpass: float, gstop: float,
     N = ceil(K(k)K'(k1) / (K'(k)K(k1))) with k = 1/nat,
     k1 = sqrt(db2(gpass)/db2(gstop)), K the complete elliptic integral
     (AGM). Returns (N, Wn=passband edge) for :func:`ellip`."""
+    _validate_gpass_gstop(gpass, gstop)
     wp, ws, btype = _ord_prepare(wp, ws, fs, 'ellipord')
     if btype == 'bandstop':
         wp = _optimize_bandstop_edges(wp, ws)

@@ -254,6 +254,10 @@ class Tensor:
         if res.ndim == 0 or res.size == 1:
             # the reference unwraps ANY 1-element result to a Python scalar
             # (python/dsc/tensor.py:91-103): x[3:4] is a scalar, not a Tensor
+            # — except under a dsc.compile trace, where a host scalar cannot
+            # exist; there the 1-element result stays a Tensor.
+            if isinstance(res, jax.core.Tracer):
+                return Tensor._from_jax(res.reshape((1,)))
             return _to_scalar(res.reshape(()), self._dtype)
         return Tensor._from_jax(res)
 

@@ -477,6 +477,7 @@ def prev_fast_len(target: int, real: bool = False) -> int:
 # --------------------------------------------------------------------------
 
 import contextlib as _contextlib
+import os as _os
 import threading as _threading
 
 _workers_local = _threading.local()
@@ -498,6 +499,15 @@ def set_workers(workers: int):
     workers = int(workers)
     if workers == 0:
         raise RuntimeError('tf.set_workers: workers must not be zero')
+    if workers < 0:
+        # scipy parity: -1 means "all cpus", -2 all-but-one, ...; values
+        # below -cpu_count are rejected (scipy.fft._pocketfft.helper)
+        ncpu = _os.cpu_count() or 1
+        if workers < -ncpu:
+            raise RuntimeError(
+                f'tf.set_workers: workers ({workers}) exceeds the number '
+                f'of available CPUs ({ncpu}); must be >= -{ncpu}'
+            )
     prev = get_workers()
     _workers_local.value = workers
     try:
