@@ -42,7 +42,20 @@ _cache_dir = os.environ.get(
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                  '.jax_cache'),
 )
-if _cache_dir not in ('', '0') and not jax.config.jax_compilation_cache_dir:
+# CPU runs must NOT touch the persistent cache: XLA:CPU entries are AOT
+# executables specialized to the compiling host's CPU features, and
+# loading one on a host with different features SIGILLs/segfaults
+# (observed: round-4 full-suite crash in backend_compile_and_load after
+# cpu_aot_loader feature-mismatch errors). The cache exists for the
+# expensive remote TPU compiles, which are feature-portable. CPU-forced
+# flows set jax_platforms (config API or JAX_PLATFORMS env) before
+# importing dsc_tpu — conftest.py does — so gate on it here.
+_platforms = jax.config.jax_platforms or ''
+if (
+    _cache_dir not in ('', '0')
+    and 'cpu' not in _platforms
+    and not jax.config.jax_compilation_cache_dir
+):
     jax.config.update('jax_compilation_cache_dir', _cache_dir)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 

@@ -290,13 +290,23 @@ def _pipe2(n_tiles, in_start, in_wait, step, out_wait):
         out_wait(tt % 2, jnp.int32(tt))
 
 
-def _phase_a_kernel(n1, n2, batch, sign, real_input, mode, *refs):
+def _phase_a_kernel(n1, n2, batch, sign, real_input, mode, *refs,
+                    n_total=None, has_col0=False):
     """Column DFT + four-step twiddle + transpose:
     x (batch*n1, n2) planar HBM -> Z (batch*n2, n1) planar HBM.
 
     Rows [b*n1, (b+1)*n1) of x hold transform b's (n1, n2) matrix; the
     tile loop runs batch*n_tiles iterations with dynamic row offsets, so
-    batching adds no compile size (the Mosaic grid bug rules out grid=)."""
+    batching adds no compile size (the Mosaic grid bug rules out grid=).
+
+    Sharded four-step (parallel/sharded_fft.py): when this kernel runs on
+    one chip's column block of a d-way transform, ``n_total`` is the FULL
+    transform length (the twiddle period) and ``has_col0`` prepends an
+    SMEM scalar ref holding this chip's global first-column index — the
+    twiddle exponent k*(col0 + 128t + c) stays exact in i32 because
+    n_total is a power of two dividing 2^32."""
+    if has_col0:
+        col0_ref, *refs = refs
     if real_input:
         (xr, zr, zi) = refs
         xi = None
@@ -305,7 +315,7 @@ def _phase_a_kernel(n1, n2, batch, sign, real_input, mode, *refs):
     n_tiles = n2 // LANES
     r1 = 1 << ((n1.bit_length() - 1) // 2)
     r2 = n1 // r1
-    n = n1 * n2
+    n = n_total if n_total is not None else n1 * n2
     g = _group(batch, n1)
     gn1 = g * n1
 
@@ -379,9 +389,11 @@ def _phase_a_kernel(n1, n2, batch, sign, real_input, mode, *refs):
         cv_io = jax.lax.broadcasted_iota(jnp.int32, (r2, LANES), 1)
         mats1, mats2, tr, ti = _gen_dft_tables(n1, r1, r2, sign, mode)
 
+        col0 = col0_ref[0] if has_col0 else jnp.int32(0)
+
         def step(s, tt):
             _, t = _split(tt)
-            col = jnp.int32(LANES) * t
+            col = jnp.int32(LANES) * t + col0
             phu = jax.lax.rem(k1_io * (col + cu_io), jnp.int32(n)) \
                 .astype(jnp.float32) * two_pi_over_n
             phv = jax.lax.rem(k2r1_io * (col + cv_io), jnp.int32(n)) \
@@ -631,3 +643,102 @@ def fourstep_stream_p(
     if real_output:
         return outs[0].reshape(oshape), None
     return outs[0].reshape(oshape), outs[1].reshape(oshape)
+
+
+# ---------------------------------------------------------------------------
+# sharded four-step: per-chip halves (parallel/sharded_fft.py)
+# ---------------------------------------------------------------------------
+
+
+def dist_supported(n1: int, n2: int, d: int, dtype) -> bool:
+    """Can the streaming kernels run the d-way sharded four-step?
+    Each chip's local column/row blocks must keep an even, >= 2 tile
+    count (the _pipe2 double-buffer contract) and the factors must be
+    kernel-supported."""
+    if np.dtype(dtype) != np.complex64:
+        return False
+    if not supported(n1, n2, np.complex64):
+        return False
+    for ftot in (n1, n2):
+        loc = ftot // d
+        if ftot % d or loc % LANES or (loc // LANES) % 2 or loc < LANES * 2:
+            return False
+    return True
+
+
+def phase_a_local_p(
+    xr: jax.Array,
+    xi: Optional[jax.Array],
+    n1: int,
+    n_total: int,
+    col0: jax.Array,
+    inverse: bool,
+    mode: Optional[str] = None,
+):
+    """One chip's phase A of a d-way sharded four-step FFT (SURVEY §5.8):
+    local column block x[:, col0:col0+n2_local] as an (n1, n2_local)
+    planar pair -> local Z rows (n2_local, n1) planar. ``col0`` is a
+    TRACED i32 scalar (jax.lax.axis_index(...) * n2_local inside
+    shard_map) delivered to the kernel through SMEM; ``n_total`` is the
+    full transform length (twiddle period)."""
+    mode = mode or DFT_MODE
+    n2_local = xr.shape[-1]
+    sign = 1 if inverse else -1
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    col0_arr = jnp.asarray(col0, jnp.int32).reshape(1)
+    ins = (col0_arr, xr) if xi is None else (col0_arr, xr, xi)
+    kernel = functools.partial(
+        _phase_a_kernel, n1, n2_local, 1, sign, xi is None, mode,
+        n_total=n_total, has_col0=True)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[smem] + [anyspec] * (len(ins) - 1),
+        out_specs=(anyspec, anyspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n2_local, n1), jnp.float32),
+            jax.ShapeDtypeStruct((n2_local, n1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_vmem_limit(n1)),
+        interpret=_interpret(),
+    )(*ins)
+
+
+def phase_b_local_p(
+    zr: jax.Array,
+    zi: jax.Array,
+    n2: int,
+    n_total: int,
+    inverse: bool,
+    real_output: bool = False,
+    mode: Optional[str] = None,
+):
+    """One chip's phase B of the d-way sharded four-step: the
+    all_to_all-exchanged (n2, n1_local) planar Z block -> the (n2,
+    n1_local) planar X block (natural order once column shards are
+    re-joined; X.reshape(n2, n1) is sharded over its last axis)."""
+    mode = mode or DFT_MODE
+    n1_local = zr.shape[-1]
+    sign = 1 if inverse else -1
+    scale = (1.0 / n_total) if inverse else 1.0
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    kernel = functools.partial(
+        _phase_b_kernel, n1_local, n2, 1, sign, scale, real_output, mode)
+    out_shapes = (jax.ShapeDtypeStruct((n2, n1_local), jnp.float32),)
+    out_specs = (anyspec,)
+    if not real_output:
+        out_shapes += (jax.ShapeDtypeStruct((n2, n1_local), jnp.float32),)
+        out_specs += (anyspec,)
+    outs = pl.pallas_call(
+        kernel,
+        in_specs=[anyspec] * 2,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_vmem_limit(n2)),
+        interpret=_interpret(),
+    )(zr, zi)
+    if real_output:
+        return outs[0], None
+    return outs[0], outs[1]

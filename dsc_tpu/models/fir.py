@@ -289,8 +289,9 @@ def savgol_filter(x: Tensor, window_length: int, polyorder: int,
         et = jnp.asarray(_polyfit_edge_matrix(
             window_length, polyorder, halflen, deriv, delta, tail=True
         ).astype(np.float32))
-        head = xj[:, :window_length] @ eh.T
-        tail = xj[:, -window_length:] @ et.T
+        hp = 'highest'  # TPU default matmul precision is bf16
+        head = jnp.matmul(xj[:, :window_length], eh.T, precision=hp)
+        tail = jnp.matmul(xj[:, -window_length:], et.T, precision=hp)
         out = jnp.concatenate(
             [head, mid[:, halflen : n - halflen], tail], axis=1
         )

@@ -57,11 +57,15 @@ def _scan2(v, a2, a3, y0, y1):
     vs = jnp.stack([v[:, 2:], jnp.zeros((b, steps), v.dtype)], axis=2)
     # fold the initial state into the first step
     s0 = jnp.stack([y1, y0], axis=1)  # (b, 2)
-    vs = vs.at[:, 0, :].add(s0 @ m.T)
+    # HIGHEST precision: the TPU's default bf16 matmul compounds over the
+    # scan's log2(n) composition levels (round-4 on-chip finding, iir.py)
+    hp = jax.lax.Precision.HIGHEST
+    vs = vs.at[:, 0, :].add(jnp.matmul(s0, m.T, precision=hp))
 
     mm, ys = jax.lax.associative_scan(
-        lambda p, q: (jnp.einsum('snm,smk->snk', q[0], p[0]),
-                      jnp.einsum('snm,sbm->sbn', q[0], p[1]) + q[1]),
+        lambda p, q: (jnp.einsum('snm,smk->snk', q[0], p[0], precision=hp),
+                      jnp.einsum('snm,sbm->sbn', q[0], p[1],
+                                 precision=hp) + q[1]),
         (ms, jnp.swapaxes(vs, 0, 1)))
     del mm
     y_tail = jnp.swapaxes(ys, 0, 1)[:, :, 0]  # (b, steps): y[2..n-1]

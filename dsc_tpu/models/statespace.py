@@ -198,9 +198,11 @@ def _dlsim_scan(ad, bu, x0):
     ms = jnp.broadcast_to(ad[None], (steps, n, n))
     # fold x0 into the first element so the scan yields x[1..steps]
     vs = bu.at[0].add(ad @ x0)
+    hp = jax.lax.Precision.HIGHEST  # default bf16 compounds over the scan
     mm, vv = jax.lax.associative_scan(
-        lambda a, b: (jnp.einsum('snm,smk->snk', b[0], a[0]),
-                      jnp.einsum('snm,sm->sn', b[0], a[1]) + b[1]),
+        lambda a, b: (jnp.einsum('snm,smk->snk', b[0], a[0], precision=hp),
+                      jnp.einsum('snm,sm->sn', b[0], a[1],
+                                 precision=hp) + b[1]),
         (ms, vs))
     del mm
     return vv  # (steps, n): x[1..steps]

@@ -1,4 +1,17 @@
 from .mesh import make_mesh
-from .sharded_fft import distributed_fft, shard_batch, sharded_batched_fft
+from .sharded_fft import (
+    distributed_fft,
+    distributed_fft_stream,
+    shard_batch,
+    sharded_batched_fft,
+    sharded_batched_rfft,
+)
 
-__all__ = ['make_mesh', 'shard_batch', 'sharded_batched_fft', 'distributed_fft']
+__all__ = [
+    'make_mesh',
+    'shard_batch',
+    'sharded_batched_fft',
+    'sharded_batched_rfft',
+    'distributed_fft',
+    'distributed_fft_stream',
+]

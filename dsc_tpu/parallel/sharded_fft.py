@@ -88,9 +88,11 @@ def distributed_fft(
     def local(xb, ttr_l, tti_l):
         # xb: (b, n1, n2/d) — this chip's j2 columns
         bb, _, n2d = xb.shape
-        # column FFTs over j1 (fully local)
+        # column FFTs over j1 (fully local; fft_batched routes large rows
+        # through the streaming Pallas kernels on TPU)
         a = xb.transpose(0, 2, 1).reshape(bb * n2d, n1)
-        a = fft_core.fft_apply(a, spec1, tables1).reshape(bb, n2d, n1)
+        a = fft_core.fft_batched(a, spec1, tables1, False).reshape(
+            bb, n2d, n1)
         # sharded twiddle: rows j2_local of Tt
         a = a * jax.lax.complex(ttr_l, tti_l)[None]
         # the four-step transpose: one all-to-all over ICI
@@ -99,7 +101,8 @@ def distributed_fft(
         # row FFTs over j2 (fully local for our k1 shard)
         n1d = a.shape[2]
         c = a.transpose(0, 2, 1).reshape(bb * n1d, n2)
-        c = fft_core.fft_apply(c, spec2, tables2).reshape(bb, n1d, n2)
+        c = fft_core.fft_batched(c, spec2, tables2, False).reshape(
+            bb, n1d, n2)
         return c  # C[b, k1_local, k2]
 
     xm = x.reshape(b, n1, n2)
@@ -123,3 +126,91 @@ def distributed_fft(
         return out
 
     return run(xm, ttr, tti)
+
+
+def distributed_fft_stream(
+    x: jax.Array, mesh: Mesh, axis: str = 'model', inverse: bool = False
+) -> jax.Array:
+    """ONE huge FFT with the STREAMING four-step itself sharded over the
+    mesh (the sharded analog of the single-chip 2-pass engine, SURVEY
+    §5.8): each chip runs the Pallas phase A kernel on its local column
+    block of M = x.reshape(n1, n2) (global-column twiddles via an SMEM
+    offset), the four-step transpose is ONE ``all_to_all`` over ICI, and
+    each chip runs the Pallas phase B kernel on its k1 shard. Two
+    HBM round-trips per chip + one collective — the same traffic shape
+    as the single-chip engine, 1/d of it per chip.
+
+    x: (n,) complex64 with n = n1*n2 a power of two; each factor must be
+    divisible by the mesh axis into >= 2 even 128-lane tiles
+    (pallas_stream.dist_supported). Returns (n,) natural order.
+    """
+    from ..fourier import pallas_stream as ps
+
+    n = x.shape[-1]
+    if x.ndim != 1:
+        raise RuntimeError(
+            f'distributed_fft_stream expects a single (n,) vector, got '
+            f'{x.ndim}-D (batch rows shard with sharded_batched_fft)'
+        )
+    d = mesh.shape[axis]
+    n1, n2 = ps.factors(n)
+    if not ps.dist_supported(n1, n2, d, x.dtype):
+        raise RuntimeError(
+            f'distributed_fft_stream: n={n} (factors {n1}x{n2}) is not '
+            f'streamable over {d} devices — need complex64 and both '
+            f'factors divisible by {d} into even >= 2-tile 128-lane '
+            f'blocks'
+        )
+    n2d = n2 // d
+
+    def local(xr_l, xi_l):
+        # xr_l: (n1, n2/d) — this chip's column block, global columns
+        # [idx*n2d, (idx+1)*n2d)
+        col0 = jax.lax.axis_index(axis) * jnp.int32(n2d)
+        zr, zi = ps.phase_a_local_p(xr_l, xi_l, n1, n, col0, inverse)
+        # four-step transpose across chips: (n2/d, n1) -> (n2, n1/d)
+        zr = jax.lax.all_to_all(zr, axis, split_axis=1, concat_axis=0,
+                                tiled=True)
+        zi = jax.lax.all_to_all(zi, axis, split_axis=1, concat_axis=0,
+                                tiled=True)
+        return ps.phase_b_local_p(zr, zi, n2, n, inverse)
+
+    mapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis)),
+        out_specs=(P(None, axis), P(None, axis)),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(xr, xi):
+        yr, yi = mapped(xr, xi)
+        # X.reshape(n2, n1)[k2, k1] holds X[k1 + n1*k2]: the row-major
+        # flatten IS natural order (slab layout == output layout)
+        return jax.lax.complex(yr.reshape(n), yi.reshape(n))
+
+    return run(jnp.real(x).reshape(n1, n2), jnp.imag(x).reshape(n1, n2))
+
+
+def sharded_batched_rfft(
+    x: jax.Array, mesh: Mesh, axis: str = 'data'
+) -> jax.Array:
+    """Batch-sharded REAL FFT: rows of x (b, n) f32 are transformed
+    independently, one shard of rows per chip, each chip running the
+    full single-chip rfft engine (streaming Pallas kernels at large n)
+    on its local rows via shard_map. Returns (b, n/2+1) complex64."""
+    b, n = x.shape
+    spec, tables = fft_plan.get_plan(n, 'real', np.complex64)
+
+    def local(xb, tt):
+        return fft_core.rfft_batched(xb, spec, tt, n)
+
+    mapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None), P()),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )
+    return jax.jit(mapped)(x, tables)

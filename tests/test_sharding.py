@@ -7,9 +7,11 @@ import pytest
 
 from dsc_tpu.parallel import (
     distributed_fft,
+    distributed_fft_stream,
     make_mesh,
     shard_batch,
     sharded_batched_fft,
+    sharded_batched_rfft,
 )
 
 from conftest import all_close
@@ -48,6 +50,47 @@ def test_distributed_fft_all_to_all():
                         inverse=True)
     )
     assert all_close(got_inv, x, eps=1e-4)
+
+
+@needs_devices
+def test_distributed_fft_stream_2_20():
+    # the STREAMING four-step itself sharded: Pallas phase A per chip
+    # (SMEM global-column offset) -> all_to_all -> Pallas phase B per chip
+    # (VERDICT r3 item 5: realistic size, 2^20)
+    mesh = make_mesh((2, 4), axis_names=('data', 'model'))
+    n = 2**20  # factors 1024 x 1024, 256-column local blocks over d=4
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64
+    )
+    got = np.asarray(distributed_fft_stream(jax.numpy.asarray(x), mesh))
+    ref = np.fft.fft(x)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+
+    back = np.asarray(
+        distributed_fft_stream(
+            jax.numpy.asarray(ref.astype(np.complex64)), mesh, inverse=True
+        )
+    )
+    assert np.abs(back - x).max() < 1e-4
+
+
+@needs_devices
+def test_sharded_batched_streaming_rfft():
+    # DP rfft where each chip runs the STREAMING kernels on its rows
+    from dsc_tpu.fourier import config as fcfg
+
+    mesh = make_mesh((8, 1))
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((8, 2**18)).astype(np.float32)
+    old = fcfg.STREAM_MODE
+    fcfg.STREAM_MODE = 'on'  # interpret-mode Pallas on the CPU mesh
+    try:
+        got = np.asarray(sharded_batched_rfft(jax.numpy.asarray(x), mesh))
+    finally:
+        fcfg.STREAM_MODE = old
+    ref = np.fft.rfft(x, axis=-1)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
 
 
 @needs_devices
