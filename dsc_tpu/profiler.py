@@ -66,12 +66,13 @@ def _serve_traces(file_path: str, port: int = 9001) -> None:
             httpd.handle_request()
 
 
-def stop_recording(file: Optional[str] = None, serve: Optional[bool] = None) -> None:
+def stop_recording(file: Optional[str] = None, serve: Optional[bool] = None,
+                   _extra_events=None) -> None:
     """Stop tracing; if ``file`` is given dump Chrome trace-event JSON there
     and (interactively) serve it for ui.perfetto.dev."""
     tracing.set_recording(False)
     if file:
-        tracing.dump_traces(file)
+        tracing.dump_traces(file, extra_events=_extra_events)
         if serve is None:
             serve = sys.stdout.isatty() and not os.environ.get('DSC_NO_SERVE')
         if serve:
@@ -79,20 +80,67 @@ def stop_recording(file: Optional[str] = None, serve: Optional[bool] = None) -> 
     tracing.clear_traces()
 
 
+# device-timeline events get pids far above any real os.getpid() so the
+# merged view keeps dsc ops and device ops as separate Perfetto processes
+_DEVICE_PID_BASE = 1 << 22
+
+
+def _load_xprof_events(xprof_dir: str, offset_us: float):
+    """Newest xprof run under ``xprof_dir`` -> Chrome trace events aligned
+    to the dsc tracing clock (xprof ``ts`` is µs since its start_trace;
+    ``offset_us`` is that instant on the dsc monotonic-µs clock). One
+    Perfetto view then shows dsc ops OVER device ops — the reference's
+    single-timeline UX (dsc_tracing.cpp:260-280)."""
+    import glob
+    import gzip
+    import json
+
+    paths = sorted(
+        glob.glob(os.path.join(xprof_dir, 'plugins', 'profile', '*',
+                               '*.trace.json.gz'))
+    )
+    if not paths:
+        return []
+    with gzip.open(paths[-1], 'rt') as f:
+        tr = json.load(f)
+    out = []
+    for ev in tr.get('traceEvents', []):
+        if not isinstance(ev, dict) or 'pid' not in ev:
+            continue
+        ev = dict(ev)
+        ev['pid'] = _DEVICE_PID_BASE + int(ev['pid'])
+        if 'ts' in ev:
+            ev['ts'] = round(ev['ts'] + offset_us, 3)
+        out.append(ev)
+    return out
+
+
 @contextmanager
 def profile(file: str = 'traces.json', serve: Optional[bool] = None,
             xprof_dir: Optional[str] = None):
-    """``with dsc.profile(): ...`` (reference profiler.py:57-63)."""
+    """``with dsc.profile(): ...`` (reference profiler.py:57-63).
+
+    With ``xprof_dir`` the region is also captured by ``jax.profiler``
+    and the device timeline (XLA ops, DMA) is MERGED into ``file`` next
+    to the dsc-level events, time-aligned, as extra Perfetto processes —
+    plus the raw xprof artifacts stay under ``xprof_dir`` for xprof UIs."""
+    t_xprof_us = None
     if xprof_dir:
         import jax
 
         jax.profiler.start_trace(xprof_dir)
+        t_xprof_us = tracing.now_us()
     start_recording()
     try:
         yield
     finally:
-        stop_recording(file, serve=serve)
+        extra = None
         if xprof_dir:
             import jax
 
             jax.profiler.stop_trace()
+            try:
+                extra = _load_xprof_events(xprof_dir, float(t_xprof_us))
+            except Exception as e:  # pragma: no cover — merge is best-effort
+                print(f'dsc_tpu: xprof merge failed: {e}', file=sys.stderr)
+        stop_recording(file, serve=serve, _extra_events=extra)

@@ -157,10 +157,22 @@ def tensor_args(**tensors) -> Dict[str, Any]:
     return out
 
 
-def dump_traces(path: str) -> None:
+def dump_traces(path: str, extra_events: Optional[List[Dict[str, Any]]] = None) -> None:
     """dsc_dump_traces equivalent: Chrome trace-event JSON consumable by
-    Perfetto (reference dsc_tracing.cpp:260-280)."""
+    Perfetto (reference dsc_tracing.cpp:260-280). ``extra_events`` lets the
+    profiler append already-aligned device-timeline events (xprof merge)
+    so ONE file holds dsc ops over device ops, preserving the reference's
+    single-timeline UX (dsc_tracing.cpp:260-280)."""
     with _lock:
         events = list(_events)
+    if extra_events:
+        events = events + list(extra_events)
     with open(path, 'w') as f:
         json.dump({'traceEvents': events, 'displayTimeUnit': 'ms'}, f)
+
+
+def now_us() -> int:
+    """The tracing clock (monotonic µs) — event ``ts`` fields use this
+    absolute base, so externally-aligned timelines (profiler xprof merge)
+    offset against it."""
+    return _now_us()

