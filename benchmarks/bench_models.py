@@ -162,6 +162,42 @@ def main():
         print(f'  {name:>9}: dsc {td * 1e3:8.2f} ms ({ms:8.1f} Msample/s)  '
               f'scipy {tn * 1e3:8.2f} ms  ({tn / td:6.2f}x)')
 
+    print('== CWT ricker (64 widths, batched planar FFT) ==')
+    from scipy.signal._peak_finding import _cwt as sp_cwt
+    from scipy.signal._peak_finding import _ricker as sp_ricker
+
+    from dsc_tpu.models import ShortTimeFFT, cwt, ricker
+
+    for name, n, nw in (('2^16x64', sh(2**16), 64),):
+        x = rng.standard_normal(n).astype(np.float32)
+        widths = np.arange(1, nw + 1).astype(np.float64)
+        xd = dsc.from_numpy(x)
+        td = bench(lambda: _sync(cwt(xd, ricker, widths)))
+        tn = bench_host(lambda: sp_cwt(x.astype(np.float64), sp_ricker,
+                                       widths))
+        ms = n * nw / td / 1e6
+        RESULTS.append({'bench': 'cwt', 'config': name, 'dsc_s': td,
+                        'scipy_s': tn, 'msamples_s': ms})
+        _dump()
+        print(f'  {name:>9}: dsc {td * 1e3:8.2f} ms ({ms:8.1f} Msample/s)  '
+              f'scipy {tn * 1e3:8.2f} ms  ({tn / td:6.2f}x)')
+
+    print('== ShortTimeFFT.stft (hann 1024 / hop 256) ==')
+    for name, n in (('2^20', sh(2**20)),):
+        x = rng.standard_normal(n).astype(np.float32)
+        xd = dsc.from_numpy(x)
+        w64 = sps.get_window('hann', 1024).astype(np.float64)
+        SFT = ShortTimeFFT(w64, hop=256, fs=1.0)
+        SFT_ref = sps.ShortTimeFFT(w64, hop=256, fs=1.0)
+        td = bench(lambda: _sync(SFT.stft(xd)))
+        tn = bench_host(lambda: SFT_ref.stft(x.astype(np.float64)))
+        ms = n / td / 1e6
+        RESULTS.append({'bench': 'short_time_fft', 'config': name,
+                        'dsc_s': td, 'scipy_s': tn, 'msamples_s': ms})
+        _dump()
+        print(f'  {name:>9}: dsc {td * 1e3:8.2f} ms ({ms:8.1f} Msample/s)  '
+              f'scipy {tn * 1e3:8.2f} ms  ({tn / td:6.2f}x)')
+
     print(f'\nresults -> {_out_path()}')
 
 

@@ -181,12 +181,15 @@ def _mmr(fm, x):
     return dot(fh, xh) + (dot(fl, xh) + dot(fh, xl))
 
 
-def _mm_stage(tab, xr, xi, real_out=False):
+def _mm_stage(tab, xr, xi, real_out=False, split=None):
     """One complex DFT stage F @ (xr + i*xi) on separated planes.
 
     xi None = real input (the Fi@xi term vanishes). real_out=True drops
-    the imaginary output — for 'g3' that skips the m3 matmul entirely
-    (irfft's last stage needs only the real plane: 2 of 3 matmuls).
+    the imaginary output — 'g3' skips the m3 matmul entirely and the
+    stacked forms SLICE the matrix to its top (re) half before the dot,
+    both halving the stage (irfft's last stage needs only the real
+    plane). ``split`` is the output re/im boundary row when the caller
+    pre-sliced the stacked matrices to a row prefix (out_rows).
     Mode is inferred from the table structure (see _gen_dft_tables)."""
     if len(tab) == 3:  # 'g3'
         fr, fi, fs = tab
@@ -200,12 +203,16 @@ def _mm_stage(tab, xr, xi, real_out=False):
         return m1 - m2, m3 - m1 - m2
     # stacked forms: (hi, lo) = 'bf16', (f,) = 'f32'
     r = xr.shape[0]
+    sp = r if split is None else split
     if xi is None:
         m = xr
         mats = tuple(f[:, :r] for f in tab)
     else:
         m = jnp.concatenate([xr, xi], axis=0)
         mats = tab
+    if real_out:
+        # only the top (re) output rows are wanted: halve the matmul
+        mats = tuple(f[:sp] for f in mats)
     if len(mats) == 2:
         fh, fl = mats
         dot = _dot()
@@ -214,25 +221,35 @@ def _mm_stage(tab, xr, xi, real_out=False):
     else:
         a2 = jnp.dot(mats[0], m, preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
-    return a2[:r], (None if real_out else a2[r:])
+    return a2[:sp], (None if real_out else a2[sp:])
 
 
 def _dft_slab(sr, si, n, r1, r2, mats1, mats2, tr, ti, real_output=False,
               out_rows=None):
     """DFT over the sublane axis of an (n, L) slab; si may be None for
     real input, real_output=True returns (re, None) and skips the last
-    stage's imaginary matmuls. ``out_rows`` (a multiple of r1, g3 tables
-    only) computes just the natural-order prefix [0, out_rows) by slicing
-    the stage-2 matrices — the hermitian-half forward needs only the
-    lower half of the spectrum (pallas_stream_t.py). Returns
+    stage's imaginary matmuls. ``out_rows`` (a multiple of r1) computes
+    just the natural-order prefix [0, out_rows) by slicing the stage-2
+    matrices (g3 real pairs row-sliced; stacked-real matrices keep their
+    re rows [0:ra) AND im rows [r2:r2+ra)) — the hermitian-half forward
+    needs only the lower half of the spectrum (pallas_stream_t.py). Returns
     (n|out_rows, L) planar slabs in natural order. Full 128-row MXU
     tiles for r = 64 factors."""
     lanes = sr.shape[1]
     n_out = n
+    split2 = None
     if out_rows is not None and out_rows < n:
-        assert len(mats2) == 3 and out_rows % r1 == 0, (out_rows, r1)
+        assert out_rows % r1 == 0, (out_rows, r1)
         ra = out_rows // r1
-        mats2 = tuple((h[:ra], lo[:ra]) for (h, lo) in mats2)
+        if len(mats2) == 3:  # g3: three (hi, lo) real-matrix pairs
+            mats2 = tuple((h[:ra], lo[:ra]) for (h, lo) in mats2)
+        else:  # stacked: slice BOTH the re rows [0:ra) and the im rows
+            # [r2:r2+ra) of the (2r2, 2r2) stacked-real matrices
+            mats2 = tuple(
+                jnp.concatenate([f[:ra], f[r2:r2 + ra]], axis=0)
+                for f in mats2
+            )
+            split2 = ra
         n_out = out_rows
     mr = sr.reshape(r1, r2 * lanes)
     mi = None if si is None else si.reshape(r1, r2 * lanes)
@@ -245,7 +262,8 @@ def _dft_slab(sr, si, n, r1, r2, mats1, mats2, tr, ti, real_output=False,
     bi = a3r * t3i + a3i * t3r
     b2r = br.transpose(1, 0, 2).reshape(r2, r1 * lanes)
     b2i = bi.transpose(1, 0, 2).reshape(r2, r1 * lanes)
-    c2r, c2i = _mm_stage(mats2, b2r, b2i, real_out=real_output)
+    c2r, c2i = _mm_stage(mats2, b2r, b2i, real_out=real_output,
+                         split=split2)
     if real_output:
         return c2r.reshape(n_out, lanes), None
     return c2r.reshape(n_out, lanes), c2i.reshape(n_out, lanes)

@@ -113,10 +113,11 @@ def _phase_b_t_kernel(n1, n2, sign, scale, half, mode, *refs):
     r1 = 1 << ((n2.bit_length() - 1) // 2)
     r2 = n2 // r1
     nc = nc_for(n2, half)
-    # half: produce only natural DFT rows [0, nc) — stage-2 tables sliced
-    # to nc/r1 rows (g3 tables only; the stacked forms compute the full
-    # stage and the transpose loop below simply reads the [0, nc) prefix)
-    out_rows = nc if (half and mode == 'g3') else None
+    # half: produce only natural DFT rows [0, nc) — stage-2 matrices
+    # sliced to nc/r1 output rows (g3 AND stacked-bf16, _dft_slab) — the
+    # upper spectrum half is the conjugate mirror and is never stored, so
+    # computing it wastes ~half the stage-2 MXU passes
+    out_rows = nc if half else None
 
     def body(bufs_r0, bufs_r1, bufs_i0, bufs_i1,
              outs_r0, outs_r1, outs_i0, outs_i1, in_sems, out_sems):

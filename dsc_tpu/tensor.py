@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import math
 import weakref
+from collections import OrderedDict
 from functools import partial
 from typing import List, Optional, Sequence, Tuple, Union
 
@@ -425,9 +426,35 @@ def _wrap(x, dtype: Optional[Dtype] = None) -> Tensor:
             x = float(x)
     else:
         raise RuntimeError(f'cannot wrap object {x!r} as a Tensor')
-    return Tensor._from_jax(
-        interop.put(np.asarray([x], dtype=DTYPE_TO_NP[dt]), _home_device(dt))
-    )
+    return Tensor._from_jax(_scalar_device_array(x, dt))
+
+
+# Device-scalar cache: an EAGER op with a Python-scalar operand otherwise
+# pays a fresh 1-element host->device upload per call — one extra ~0.4-1 ms
+# tunnel round-trip that made scalar-RHS binary ops ~3x slower than
+# tensor-RHS at every size (results_simple.json r3 sweep). jax arrays are
+# immutable, so sharing the uploaded scalar across calls is safe.
+_SCALAR_CACHE: OrderedDict = OrderedDict()
+_SCALAR_CACHE_CAP = 512
+
+
+def _scalar_device_array(x, dt: Dtype):
+    key = (x, dt)
+    try:
+        arr = _SCALAR_CACHE.get(key)
+    except TypeError:  # unhashable — never for plain scalars, but be safe
+        arr = None
+        key = None
+    if arr is None:
+        arr = interop.put(np.asarray([x], dtype=DTYPE_TO_NP[dt]),
+                          _home_device(dt))
+        if key is not None:
+            _SCALAR_CACHE[key] = arr
+            while len(_SCALAR_CACHE) > _SCALAR_CACHE_CAP:
+                _SCALAR_CACHE.popitem(last=False)
+    else:
+        _SCALAR_CACHE.move_to_end(key)
+    return arr
 
 
 def _operand_dtype(x) -> Dtype:
