@@ -65,12 +65,9 @@ def _affine_filter(x, A, c, b0, zi, method='parallel'):
 
         zf, ys = jax.lax.scan(step, zi, x.T)
         return ys.T, zf
-    # parallel: compose affine maps (A, c*x[n]) with an associative scan.
+    # parallel: compose affine maps (A, c*x[n]) associatively.
     bsz, n = x.shape
-    cb = x[..., None] * c[None, None, :]  # (b, n, m)
-    cb = cb.at[:, 0, :].add(jnp.matmul(zi, A.T, precision=hp))
-
-    As = jnp.broadcast_to(A, (bsz, n) + A.shape)
+    m = A.shape[-1]
 
     def combine(lhs, rhs):
         Al, bl = lhs
@@ -78,6 +75,56 @@ def _affine_filter(x, A, c, b0, zi, method='parallel'):
         return (jnp.matmul(Ar, Al, precision=hp),
                 jnp.einsum('...ij,...j->...i', Ar, bl, precision=hp) + br)
 
+    if n >= 4096:
+        # Blocked two-level scan. A flat lax.associative_scan over the
+        # time axis halves the data with STRIDE-2 slices at every one of
+        # its log2(n) levels — on TPU those are the pathological lane
+        # gathers (measured on-chip: 160 ms for ONE 2^22 row, 0.74x
+        # scipy). Blocking restores locality: chunk position rides the
+        # SUBLANE-major scan axis (M sequential jit-internal steps over
+        # lane-parallel chunk columns), the cross-chunk recurrence is a
+        # tiny K-element associative scan, and the chunk-init correction
+        # is one elementwise pass with in-jit A^j powers.
+        M = 256  # on-chip sweep (benchmarks/probe_iir_m.py): best of {64..1024}
+        K = -(-n // M)
+        n_pad = K * M
+        xp = jnp.pad(x, ((0, 0), (0, n_pad - n)))
+        xs = xp.reshape(bsz, K, M).transpose(2, 0, 1)  # (M, b, K)
+
+        def step(S, xj):
+            S_new = (jnp.matmul(S, A.T, precision=hp)
+                     + xj[..., None] * c[None, None, :])
+            return S_new, S  # emit the PRE-update state s_prev
+
+        S0 = jnp.zeros((bsz, K, m), x.dtype)
+        L, s_prev_loc = jax.lax.scan(step, S0, xs)  # L: (b, K, m) chunk ends
+        # A^1..A^M (tiny in-jit cumulative products; A is a traced arg)
+        Apow = jax.lax.associative_scan(
+            lambda p, q: jnp.matmul(q, p, precision=hp),
+            jnp.broadcast_to(A, (M,) + A.shape))
+        Am = Apow[-1]
+        Apow_prev = jnp.concatenate(
+            [jnp.eye(m, dtype=x.dtype)[None], Apow[:-1]], axis=0)
+        # chunk-end states given the true init: t_k = Am t_{k-1} + L_k
+        Ms = jnp.broadcast_to(Am, (bsz, K) + A.shape)
+        Mk, wk = jax.lax.associative_scan(combine, (Ms, L), axis=1)
+        t = jnp.einsum('bkmn,bn->bkm', Mk, zi, precision=hp) + wk
+        s_init = jnp.concatenate([zi[:, None, :], t[:, :-1]], axis=1)
+        # true pre-update states: local + A^j applied to the chunk init
+        s_prev = s_prev_loc + jnp.einsum('jmn,bkn->jbkm', Apow_prev,
+                                         s_init, precision=hp)
+        y = (b0 * xs + s_prev[..., 0]).transpose(1, 2, 0).reshape(
+            bsz, n_pad)[:, :n]
+        if n == n_pad:
+            zf = t[:, -1]
+        else:
+            zf = s_prev[n % M, :, n // M, :]
+        return y, zf
+
+    cb = x[..., None] * c[None, None, :]  # (b, n, m)
+    cb = cb.at[:, 0, :].add(jnp.matmul(zi, A.T, precision=hp))
+
+    As = jnp.broadcast_to(A, (bsz, n) + A.shape)
     _, s_all = jax.lax.associative_scan(combine, (As, cb), axis=1)
     s_prev = jnp.concatenate([zi[:, None, :], s_all[:, :-1]], axis=1)
     y = b0 * x + s_prev[..., 0]
