@@ -48,6 +48,95 @@ def _tdf2_matrices(b, a):
     return A, c
 
 
+_LINREC_M = 256  # chunk length; on-chip sweep best of {64..1024}
+
+
+def _apow_chain(A, M, hp):
+    """A^0..A^M as one (M+1, m, m) stack (in-jit cumulative products)."""
+    m = A.shape[-1]
+    Apow = jax.lax.associative_scan(
+        lambda p, q: jnp.matmul(q, p, precision=hp),
+        jnp.broadcast_to(A, (M,) + A.shape))
+    return jnp.concatenate([jnp.eye(m, dtype=A.dtype)[None], Apow], axis=0)
+
+
+def _linrec_vec(f, A, u0, hp):
+    """All states of s_{t+1} = A s_t + f_t, s_0 = u0, as block-Toeplitz
+    matmuls. f: (b, T, m), u0: (b, m). Returns (s_pre, s_T) where
+    s_pre[:, t] = s_t for t < T.
+
+    Within a chunk of M steps, s_j = sum_{i<j} A^{j-1-i} f_i (+ init
+    term) — that sum IS a matmul of the chunk against the strictly-lower
+    block-Toeplitz matrix of A powers, so it runs on the MXU instead of
+    a sequential scan. The chunk-level recurrence (K = T/M increments)
+    recurses until it is small enough for a flat associative scan."""
+    bsz, T, m = f.shape
+    if T <= 512:
+        def combine(l, r):
+            Al, bl = l
+            Ar, br = r
+            return (jnp.matmul(Ar, Al, precision=hp),
+                    jnp.einsum('...ij,...j->...i', Ar, bl, precision=hp)
+                    + br)
+        As = jnp.broadcast_to(A, (bsz, T) + A.shape)
+        Mk, wk = jax.lax.associative_scan(combine, (As, f), axis=1)
+        s_all = jnp.einsum('bkmn,bn->bkm', Mk, u0, precision=hp) + wk
+        s_pre = jnp.concatenate([u0[:, None], s_all[:, :-1]], axis=1)
+        return s_pre, s_all[:, -1]
+    M = _LINREC_M
+    K = -(-T // M)
+    fp = jnp.pad(f, ((0, 0), (0, K * M - T), (0, 0)))
+    P = _apow_chain(A, M, hp)                        # (M+1, m, m)
+    ii = jnp.arange(M)
+    expo = ii[None, :] - ii[:, None] - 1             # (i, j) -> j-1-i
+    Wl = jnp.where((expo >= 0)[:, :, None, None],
+                   P[jnp.clip(expo, 0, M)], 0.0)     # (i, j, d, e)
+    WL = P[M - 1 - ii][:, None]                      # (i, 1, d, e): j = M
+    W = jnp.concatenate([Wl, WL], axis=1)
+    Wmat = W.transpose(0, 3, 1, 2).reshape(M * m, (M + 1) * m)
+    out = jnp.matmul(fp.reshape(bsz * K, M * m), Wmat, precision=hp)
+    out = out.reshape(bsz, K, M + 1, m)
+    s_loc, L = out[:, :, :M], out[:, :, M]
+    e_pre, e_T = _linrec_vec(L, P[M], u0, hp)        # chunk-init states
+    corr = jnp.einsum('jde,bke->bkjd', P[:M], e_pre, precision=hp)
+    s_pre = (s_loc + corr).reshape(bsz, K * M, m)
+    if T == K * M:
+        return s_pre, e_T
+    return s_pre[:, :T], s_pre[:, T]
+
+
+def _linrec_scalar(x, A, c, b0, zi, hp):
+    """One linear section y = b0 x + s[..0], s' = A s + c x, with the
+    recurrence solved entirely by MXU matmuls (see _linrec_vec). Only
+    state component 0 is materialized (that is all y needs); the final
+    state zf is reconstructed from the tail chunk. x: (b, n)."""
+    bsz, n = x.shape
+    M = _LINREC_M
+    K = -(-n // M)
+    xp = jnp.pad(x, ((0, 0), (0, K * M - n)))
+    xc = xp.reshape(bsz, K, M)
+    P = _apow_chain(A, M, hp)                        # (M+1, m, m)
+    v = jnp.einsum('pde,e->pd', P, c, precision=hp)  # A^p c taps
+    ii = jnp.arange(M)
+    expo = ii[None, :] - ii[:, None] - 1
+    W0 = jnp.where(expo >= 0, v[jnp.clip(expo, 0, M), 0], 0.0)  # (i, j)
+    WL = v[M - 1 - ii]                               # (i, m): chunk ends
+    Wmat = jnp.concatenate([W0, WL], axis=1)         # (M, M + m)
+    out = jnp.matmul(xp.reshape(bsz * K, M), Wmat, precision=hp)
+    out = out.reshape(bsz, K, M + A.shape[-1])
+    s0_loc, L = out[..., :M], out[..., M:]
+    e_pre, e_T = _linrec_vec(L, P[M], zi, hp)
+    corr0 = jnp.einsum('je,bke->bkj', P[:M, 0, :], e_pre, precision=hp)
+    y = (b0 * xc + s0_loc + corr0).reshape(bsz, K * M)[:, :n]
+    if n == K * M:
+        return y, e_T
+    r, q = n % M, n // M
+    Wr = jnp.where((ii < r)[:, None], v[jnp.clip(r - 1 - ii, 0, M)], 0.0)
+    zf = (jnp.matmul(xc[:, q], Wr, precision=hp)
+          + jnp.einsum('de,be->bd', P[r], e_pre[:, q], precision=hp))
+    return y, zf
+
+
 @partial(jax.jit, static_argnames=('method',))
 def _affine_filter(x, A, c, b0, zi, method='parallel'):
     """(batch, n) signal through one linear section. A: (m, m), c: (m,),
@@ -67,7 +156,6 @@ def _affine_filter(x, A, c, b0, zi, method='parallel'):
         return ys.T, zf
     # parallel: compose affine maps (A, c*x[n]) associatively.
     bsz, n = x.shape
-    m = A.shape[-1]
 
     def combine(lhs, rhs):
         Al, bl = lhs
@@ -76,50 +164,16 @@ def _affine_filter(x, A, c, b0, zi, method='parallel'):
                 jnp.einsum('...ij,...j->...i', Ar, bl, precision=hp) + br)
 
     if n >= 4096:
-        # Blocked two-level scan. A flat lax.associative_scan over the
-        # time axis halves the data with STRIDE-2 slices at every one of
-        # its log2(n) levels — on TPU those are the pathological lane
-        # gathers (measured on-chip: 160 ms for ONE 2^22 row, 0.74x
-        # scipy). Blocking restores locality: chunk position rides the
-        # SUBLANE-major scan axis (M sequential jit-internal steps over
-        # lane-parallel chunk columns), the cross-chunk recurrence is a
-        # tiny K-element associative scan, and the chunk-init correction
-        # is one elementwise pass with in-jit A^j powers.
-        M = 256  # on-chip sweep (benchmarks/probe_iir_m.py): best of {64..1024}
-        K = -(-n // M)
-        n_pad = K * M
-        xp = jnp.pad(x, ((0, 0), (0, n_pad - n)))
-        xs = xp.reshape(bsz, K, M).transpose(2, 0, 1)  # (M, b, K)
-
-        def step(S, xj):
-            S_new = (jnp.matmul(S, A.T, precision=hp)
-                     + xj[..., None] * c[None, None, :])
-            return S_new, S  # emit the PRE-update state s_prev
-
-        S0 = jnp.zeros((bsz, K, m), x.dtype)
-        L, s_prev_loc = jax.lax.scan(step, S0, xs)  # L: (b, K, m) chunk ends
-        # A^1..A^M (tiny in-jit cumulative products; A is a traced arg)
-        Apow = jax.lax.associative_scan(
-            lambda p, q: jnp.matmul(q, p, precision=hp),
-            jnp.broadcast_to(A, (M,) + A.shape))
-        Am = Apow[-1]
-        Apow_prev = jnp.concatenate(
-            [jnp.eye(m, dtype=x.dtype)[None], Apow[:-1]], axis=0)
-        # chunk-end states given the true init: t_k = Am t_{k-1} + L_k
-        Ms = jnp.broadcast_to(Am, (bsz, K) + A.shape)
-        Mk, wk = jax.lax.associative_scan(combine, (Ms, L), axis=1)
-        t = jnp.einsum('bkmn,bn->bkm', Mk, zi, precision=hp) + wk
-        s_init = jnp.concatenate([zi[:, None, :], t[:, :-1]], axis=1)
-        # true pre-update states: local + A^j applied to the chunk init
-        s_prev = s_prev_loc + jnp.einsum('jmn,bkn->jbkm', Apow_prev,
-                                         s_init, precision=hp)
-        y = (b0 * xs + s_prev[..., 0]).transpose(1, 2, 0).reshape(
-            bsz, n_pad)[:, :n]
-        if n == n_pad:
-            zf = t[:, -1]
-        else:
-            zf = s_prev[n % M, :, n // M, :]
-        return y, zf
+        # Linear recurrence as block-Toeplitz MXU matmuls — no scan over
+        # time at all. A flat lax.associative_scan does stride-2 lane
+        # gathers at every one of its log2(n) levels (measured on-chip:
+        # 160 ms for ONE 2^22 row, 0.74x scipy); a blocked lax.scan
+        # variant still paid ~27 ms in sequential-step overhead. The
+        # Toeplitz form (_linrec_scalar) turns the whole section into a
+        # few (n/256, 256) x (256, 258) matmuls + a recursive chunk
+        # recurrence — the TPU-native shape for linear RNN/SSM-style
+        # recurrences.
+        return _linrec_scalar(x, A, c, b0, zi, hp)
 
     cb = x[..., None] * c[None, None, :]  # (b, n, m)
     cb = cb.at[:, 0, :].add(jnp.matmul(zi, A.T, precision=hp))
