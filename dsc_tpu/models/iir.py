@@ -49,98 +49,127 @@ def _tdf2_matrices(b, a):
 
 
 _LINREC_M = 256  # chunk length; on-chip sweep best of {64..1024}
+_LINREC_BASE = 512  # below this, a flat associative scan is fine
 
 
-def _apow_chain(A, M, hp):
-    """A^0..A^M as one (M+1, m, m) stack (in-jit cumulative products)."""
-    m = A.shape[-1]
-    Apow = jax.lax.associative_scan(
-        lambda p, q: jnp.matmul(q, p, precision=hp),
-        jnp.broadcast_to(A, (M,) + A.shape))
-    return jnp.concatenate([jnp.eye(m, dtype=A.dtype)[None], Apow], axis=0)
+def _linrec_plan(A, c, n):
+    """HOST-side (numpy, f64) weight ladder for the block-Toeplitz
+    linear-recurrence solver. Building the Toeplitz matrices in-jit
+    costs a 65-262K-element gather that the TPU serializes (measured
+    on-chip: the gather alone was ~7 ms at 2^22, dwarfing the matmul);
+    A and c are host values in every caller, so the weights are plain
+    numpy — computed in f64, cast to f32 once.
+
+    Returns a tuple of per-level tuples of jnp arrays (a static-shape
+    pytree, jit-friendly):
+      level 0 (scalar input): (Wmat (M, M+m), C (M, m), Wr (M, m),
+                               Pr (m, m))
+      middle levels (vector input): (Wmat (M*m, (M+1)*m), Cv (M, m, m))
+      last level: (Abase (m, m),) for the flat base-case scan.
+    """
+    A = np.asarray(A, np.float64)
+    c = np.asarray(c, np.float64)
+    m = A.shape[0]
+    M = _LINREC_M
+
+    def powers(B):
+        P = np.empty((M + 1, m, m))
+        P[0] = np.eye(m)
+        for p in range(1, M + 1):
+            P[p] = B @ P[p - 1]
+        return P
+
+    f32 = lambda a: jnp.asarray(np.asarray(a, np.float32))  # noqa: E731
+    P = powers(A)
+    v = P @ c                                        # (M+1, m): A^p c
+    ii = np.arange(M)
+    expo = ii[None, :] - ii[:, None] - 1             # (i, j) -> j-1-i
+    W0 = np.where(expo >= 0, v[np.clip(expo, 0, M), 0], 0.0)
+    WL = v[M - 1 - ii]                               # (i, m): chunk ends
+    r = n % M
+    Wr = np.where((ii < r)[:, None], v[np.clip(r - 1 - ii, 0, M)], 0.0)
+    levels = [(f32(np.concatenate([W0, WL], axis=1)), f32(P[:M, 0, :]),
+               f32(Wr), f32(P[r]))]
+    T = -(-n // M)
+    B = P[M]                                         # A^M
+    while T > _LINREC_BASE:
+        P = powers(B)
+        Wl = np.where((expo >= 0)[:, :, None, None],
+                      P[np.clip(expo, 0, M)], 0.0)   # (i, j, d, e)
+        WLv = P[M - 1 - ii][:, None]                 # (i, 1, d, e): j = M
+        W = np.concatenate([Wl, WLv], axis=1)
+        Wmat = W.transpose(0, 3, 1, 2).reshape(M * m, (M + 1) * m)
+        levels.append((f32(Wmat), f32(P[:M])))
+        T = -(-T // M)
+        B = P[M]
+    levels.append((f32(B),))
+    return tuple(levels)
 
 
-def _linrec_vec(f, A, u0, hp):
-    """All states of s_{t+1} = A s_t + f_t, s_0 = u0, as block-Toeplitz
-    matmuls. f: (b, T, m), u0: (b, m). Returns (s_pre, s_T) where
-    s_pre[:, t] = s_t for t < T.
-
-    Within a chunk of M steps, s_j = sum_{i<j} A^{j-1-i} f_i (+ init
-    term) — that sum IS a matmul of the chunk against the strictly-lower
-    block-Toeplitz matrix of A powers, so it runs on the MXU instead of
-    a sequential scan. The chunk-level recurrence (K = T/M increments)
-    recurses until it is small enough for a flat associative scan."""
+def _linrec_apply_vec(f, levels, u0, hp):
+    """Vector-input recurrence s_{t+1} = A s_t + f_t via the plan's
+    weight ladder. f: (b, T, m); returns (s_pre[:, t] = s_t, s_T)."""
     bsz, T, m = f.shape
-    if T <= 512:
+    if len(levels) == 1:
+        (Ab,) = levels[0]
+
         def combine(l, r):
             Al, bl = l
             Ar, br = r
             return (jnp.matmul(Ar, Al, precision=hp),
                     jnp.einsum('...ij,...j->...i', Ar, bl, precision=hp)
                     + br)
-        As = jnp.broadcast_to(A, (bsz, T) + A.shape)
+        As = jnp.broadcast_to(Ab, (bsz, T) + Ab.shape)
         Mk, wk = jax.lax.associative_scan(combine, (As, f), axis=1)
         s_all = jnp.einsum('bkmn,bn->bkm', Mk, u0, precision=hp) + wk
         s_pre = jnp.concatenate([u0[:, None], s_all[:, :-1]], axis=1)
         return s_pre, s_all[:, -1]
-    M = _LINREC_M
+    Wmat, Cv = levels[0]
+    M = Wmat.shape[0] // m
     K = -(-T // M)
     fp = jnp.pad(f, ((0, 0), (0, K * M - T), (0, 0)))
-    P = _apow_chain(A, M, hp)                        # (M+1, m, m)
-    ii = jnp.arange(M)
-    expo = ii[None, :] - ii[:, None] - 1             # (i, j) -> j-1-i
-    Wl = jnp.where((expo >= 0)[:, :, None, None],
-                   P[jnp.clip(expo, 0, M)], 0.0)     # (i, j, d, e)
-    WL = P[M - 1 - ii][:, None]                      # (i, 1, d, e): j = M
-    W = jnp.concatenate([Wl, WL], axis=1)
-    Wmat = W.transpose(0, 3, 1, 2).reshape(M * m, (M + 1) * m)
     out = jnp.matmul(fp.reshape(bsz * K, M * m), Wmat, precision=hp)
     out = out.reshape(bsz, K, M + 1, m)
     s_loc, L = out[:, :, :M], out[:, :, M]
-    e_pre, e_T = _linrec_vec(L, P[M], u0, hp)        # chunk-init states
-    corr = jnp.einsum('jde,bke->bkjd', P[:M], e_pre, precision=hp)
+    e_pre, e_T = _linrec_apply_vec(L, levels[1:], u0, hp)
+    corr = jnp.einsum('jde,bke->bkjd', Cv, e_pre, precision=hp)
     s_pre = (s_loc + corr).reshape(bsz, K * M, m)
     if T == K * M:
         return s_pre, e_T
     return s_pre[:, :T], s_pre[:, T]
 
 
-def _linrec_scalar(x, A, c, b0, zi, hp):
-    """One linear section y = b0 x + s[..0], s' = A s + c x, with the
-    recurrence solved entirely by MXU matmuls (see _linrec_vec). Only
-    state component 0 is materialized (that is all y needs); the final
-    state zf is reconstructed from the tail chunk. x: (b, n)."""
+def _linrec_scalar(x, plan, b0, zi, hp):
+    """One linear section y = b0 x + s[..0], s' = A s + c x, solved
+    entirely by MXU matmuls against the host-built plan. Only state
+    component 0 is materialized (all y needs); the final state zf is
+    reconstructed from the tail chunk. x: (b, n)."""
+    Wmat, C, Wr, Pr = plan[0]
     bsz, n = x.shape
-    M = _LINREC_M
+    m = C.shape[1]
+    M = Wmat.shape[0]
     K = -(-n // M)
     xp = jnp.pad(x, ((0, 0), (0, K * M - n)))
     xc = xp.reshape(bsz, K, M)
-    P = _apow_chain(A, M, hp)                        # (M+1, m, m)
-    v = jnp.einsum('pde,e->pd', P, c, precision=hp)  # A^p c taps
-    ii = jnp.arange(M)
-    expo = ii[None, :] - ii[:, None] - 1
-    W0 = jnp.where(expo >= 0, v[jnp.clip(expo, 0, M), 0], 0.0)  # (i, j)
-    WL = v[M - 1 - ii]                               # (i, m): chunk ends
-    Wmat = jnp.concatenate([W0, WL], axis=1)         # (M, M + m)
     out = jnp.matmul(xp.reshape(bsz * K, M), Wmat, precision=hp)
-    out = out.reshape(bsz, K, M + A.shape[-1])
+    out = out.reshape(bsz, K, M + m)
     s0_loc, L = out[..., :M], out[..., M:]
-    e_pre, e_T = _linrec_vec(L, P[M], zi, hp)
-    corr0 = jnp.einsum('je,bke->bkj', P[:M, 0, :], e_pre, precision=hp)
+    e_pre, e_T = _linrec_apply_vec(L, plan[1:], zi, hp)
+    corr0 = jnp.einsum('je,bke->bkj', C, e_pre, precision=hp)
     y = (b0 * xc + s0_loc + corr0).reshape(bsz, K * M)[:, :n]
     if n == K * M:
         return y, e_T
-    r, q = n % M, n // M
-    Wr = jnp.where((ii < r)[:, None], v[jnp.clip(r - 1 - ii, 0, M)], 0.0)
+    q = n // M
     zf = (jnp.matmul(xc[:, q], Wr, precision=hp)
-          + jnp.einsum('de,be->bd', P[r], e_pre[:, q], precision=hp))
+          + jnp.einsum('de,be->bd', Pr, e_pre[:, q], precision=hp))
     return y, zf
 
 
 @partial(jax.jit, static_argnames=('method',))
-def _affine_filter(x, A, c, b0, zi, method='parallel'):
+def _affine_filter(x, A, c, b0, zi, method='parallel', plan=None):
     """(batch, n) signal through one linear section. A: (m, m), c: (m,),
-    zi: (batch, m) initial state. Returns (y, zf)."""
+    zi: (batch, m) initial state, ``plan``: host-built weight ladder
+    (_linrec_plan) for the long-signal Toeplitz path. Returns (y, zf)."""
     # These are (m, m) matmuls with m ~ 2: VPU-bound either way, but the
     # TPU's DEFAULT matmul precision is bf16 and the scan COMPOUNDS that
     # rounding over log2(n) composition levels (measured on-chip: 7.8e-3
@@ -163,7 +192,7 @@ def _affine_filter(x, A, c, b0, zi, method='parallel'):
         return (jnp.matmul(Ar, Al, precision=hp),
                 jnp.einsum('...ij,...j->...i', Ar, bl, precision=hp) + br)
 
-    if n >= 4096:
+    if plan is not None:
         # Linear recurrence as block-Toeplitz MXU matmuls — no scan over
         # time at all. A flat lax.associative_scan does stride-2 lane
         # gathers at every one of its log2(n) levels (measured on-chip:
@@ -173,7 +202,7 @@ def _affine_filter(x, A, c, b0, zi, method='parallel'):
         # few (n/256, 256) x (256, 258) matmuls + a recursive chunk
         # recurrence — the TPU-native shape for linear RNN/SSM-style
         # recurrences.
-        return _linrec_scalar(x, A, c, b0, zi, hp)
+        return _linrec_scalar(x, plan, b0, zi, hp)
 
     cb = x[..., None] * c[None, None, :]  # (b, n, m)
     cb = cb.at[:, 0, :].add(jnp.matmul(zi, A.T, precision=hp))
@@ -233,12 +262,14 @@ def lfilter(b, a, x: Tensor, zi=None, method: str = 'parallel'):
                 f'lfilter: zi has shape {tuple(z0.shape)}, expected '
                 f'({xj.shape[0]}, {m})'
             )
+    plan = (_linrec_plan(A, c, xj.shape[1])
+            if method == 'parallel' and xj.shape[1] >= 4096 else None)
     with tracing.trace_op(
         'lfilter', 'op;pipeline', tracing.tensor_args(x=x)
     ) as tr:
         y, zf = _affine_filter(
             xj, jnp.asarray(A, jnp.float32), jnp.asarray(c, jnp.float32),
-            np.float32(bb[0]), z0, method=method,
+            np.float32(bb[0]), z0, method=method, plan=plan,
         )
         if tr:
             tr.result = y
@@ -290,9 +321,13 @@ def sosfilt(sos, x: Tensor, zi=None, method: str = 'parallel'):
         zfs = []
         for s in range(ns):
             A, c = _tdf2_matrices(sos[s, :3], sos[s, 3:])
+            plan = (_linrec_plan(A, c, xj.shape[1])
+                    if method == 'parallel' and xj.shape[1] >= 4096
+                    else None)
             y, zf = _affine_filter(
                 y, jnp.asarray(A, jnp.float32), jnp.asarray(c, jnp.float32),
                 np.float32(sos[s, 0]), jnp.asarray(z0[:, s]), method=method,
+                plan=plan,
             )
             zfs.append(zf)
         if tr:
@@ -363,13 +398,19 @@ def sosfiltfilt(sos, x: Tensor, padlen: Optional[int] = None,
     cs = np.stack([_tdf2_matrices(sos[s, :3], sos[s, 3:])[1]
                    for s in range(ns)]).astype(np.float32)
     b0s = sos[:, 0].astype(np.float32)
+    n_ext = xj.shape[1] + 2 * int(padlen)
+    plans = None
+    if method == 'parallel' and n_ext >= 4096:
+        plans = tuple(
+            _linrec_plan(*_tdf2_matrices(sos[s, :3], sos[s, 3:]), n_ext)
+            for s in range(ns))
     with tracing.trace_op(
         'sosfiltfilt', 'op;pipeline', tracing.tensor_args(x=x)
     ) as tr:
         out = _sosfiltfilt_program(
             xj, jnp.asarray(As), jnp.asarray(cs), jnp.asarray(b0s),
             jnp.asarray(zi_unit, jnp.float32), int(padlen),
-            padtype or 'odd', method,
+            padtype or 'odd', method, plans,
         )
         if tr:
             tr.result = out
@@ -377,7 +418,8 @@ def sosfiltfilt(sos, x: Tensor, padlen: Optional[int] = None,
 
 
 @partial(jax.jit, static_argnames=('pl', 'padtype', 'method'))
-def _sosfiltfilt_program(xb, As, cs, b0s, zi_unit, pl, padtype, method):
+def _sosfiltfilt_program(xb, As, cs, b0s, zi_unit, pl, padtype, method,
+                         plans=None):
     """Extend -> forward cascade -> reverse -> backward cascade ->
     reverse -> crop, as ONE program. Every section's initial state is
     the unit-step steady state scaled by the extension's edge sample
@@ -389,7 +431,9 @@ def _sosfiltfilt_program(xb, As, cs, b0s, zi_unit, pl, padtype, method):
         for s in range(ns):
             z0 = edge[:, None] * zi_unit[s][None, :]
             sig, _ = _affine_filter(sig, As[s], cs[s], b0s[s], z0,
-                                    method=method)
+                                    method=method,
+                                    plan=None if plans is None
+                                    else plans[s])
         return sig
 
     if pl == 0:
