@@ -448,6 +448,11 @@ def _scalar_device_array(x, dt: Dtype):
     if arr is None:
         arr = interop.put(np.asarray([x], dtype=DTYPE_TO_NP[dt]),
                           _home_device(dt))
+        # Under a jax trace (dsc.compile / user jit) device_put yields a
+        # Tracer; caching it would leak it into later eager calls
+        # (UnexpectedTracerError). Cache only concrete device arrays.
+        if isinstance(arr, jax.core.Tracer):
+            key = None
         if key is not None:
             _SCALAR_CACHE[key] = arr
             while len(_SCALAR_CACHE) > _SCALAR_CACHE_CAP:
