@@ -49,11 +49,16 @@ _cache_dir = os.environ.get(
 # cpu_aot_loader feature-mismatch errors). The cache exists for the
 # expensive remote TPU compiles, which are feature-portable. CPU-forced
 # flows set jax_platforms (config API or JAX_PLATFORMS env) before
-# importing dsc_tpu — conftest.py does — so gate on it here.
-_platforms = jax.config.jax_platforms or ''
+# importing dsc_tpu — conftest.py does — so gate on it here. Gate on the
+# FIRST (preferred) platform only: the axon sitecustomize sets
+# 'axon,cpu' (cpu as mere fallback), and a substring test against that
+# silently disabled the cache on every real-TPU run — each driver bench
+# then paid a 300-1400 s cold compile for programs built hours earlier
+# (round-3 "what's weak" #1; root-caused round 4).
+_first_platform = (jax.config.jax_platforms or '').split(',')[0].strip()
 if (
     _cache_dir not in ('', '0')
-    and 'cpu' not in _platforms
+    and _first_platform != 'cpu'
     and not jax.config.jax_compilation_cache_dir
 ):
     jax.config.update('jax_compilation_cache_dir', _cache_dir)
