@@ -47,6 +47,32 @@ def use_pallas(dtype, n: int) -> bool:
     return _on_tpu()
 
 
+# 'auto': half-size packed real FFT (packed.py — rfft_n as one n/2
+# complex engine + untangle) for single-vector streaming rfft/irfft.
+# Round-4 on-chip A/B (probe_packed.py, PERF.md): the XLA-level
+# composition pays ~0.85 ms of deint/inter matmuls plus ~1 ms of
+# untangle/entangle copy passes at 2^24 and LOSES to the full-size
+# engine (3.5 vs ~2.1 ms/pair), so 'auto' resolves to OFF until the
+# selections/untangle are folded into the Pallas phases. 'on' opts in
+# (interpret mode off TPU). Read at trace time: flipping it
+# mid-process does not retrace already-jitted shapes.
+PACKED_MODE = os.environ.get('DSC_FFT_PACKED', 'auto')
+
+
+def use_packed(n1: int, n2: int) -> bool:
+    """Route a single-vector half-T rfft/irfft through the packed
+    half-size engine (inner complex four-step at (n1, n2/2))."""
+    from .. import flags
+
+    if PACKED_MODE == 'off' or flags.xla_only_active():
+        return False
+    from . import packed
+
+    if not packed.supported(n1, n2):
+        return False
+    return PACKED_MODE == 'on'
+
+
 # Largest batch*n the streaming kernel takes on at once: the planar
 # intermediate is 8 bytes/element (2 f32 planes in + 2 out), so 2^27
 # elements keeps it within ~1 GiB of the 16 GiB HBM.

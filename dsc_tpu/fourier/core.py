@@ -356,10 +356,17 @@ def fft_stream_axis(x, n1, n2, axis, inverse):
 @partial(jax.jit, static_argnames=('n1', 'n2'))
 def rfft_stream_half_t(x, n1, n2):
     """(m,)-ish real vector (pad/crop to n) -> hermitian-half T-layout
-    planes (n1 + pad, n2/2 + 128)."""
-    from . import pallas_stream_t
+    planes (n1 + pad, n2/2 + 128). Routes through the packed half-size
+    engine (packed.py: one n/2 complex four-step + untangle, -33% MXU
+    work) when config.use_packed allows; the full-size real engine is
+    the fallback and the DSC_FFT_PACKED=off escape hatch."""
+    from . import config, pallas_stream_t
 
     xb, _ = _rows(x, n1 * n2)
+    if config.use_packed(n1, n2):
+        from . import packed
+
+        return packed.rfft_half_t_packed(xb.reshape(-1), n1, n2)
     return pallas_stream_t.fourstep_to_t_p(
         xb.reshape(-1), None, n1, n2, half=True)
 
@@ -367,8 +374,12 @@ def rfft_stream_half_t(x, n1, n2):
 @partial(jax.jit, static_argnames=('n1', 'n2'))
 def irfft_stream_from_half_t(hr, hi, n1, n2):
     """Hermitian-half T-layout planes -> (n,) real inverse."""
-    from . import pallas_stream_t
+    from . import config, pallas_stream_t
 
+    if config.use_packed(n1, n2):
+        from . import packed
+
+        return packed.irfft_from_half_t_packed(hr, hi, n1, n2)
     yr, _ = pallas_stream_t.fourstep_from_t_p(
         hr, hi, n1, n2, half=True, real_output=True)
     return yr
