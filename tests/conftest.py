@@ -27,6 +27,22 @@ if not os.environ.get('DSC_TEST_TPU'):
 
 import dsc_tpu as dsc  # noqa: E402
 
+# Modules auto-marked `slow` (skipped by CI's -m "not slow" fast job,
+# .github/workflows/tests.yml): the interpret-mode Pallas suites — every
+# simulated DMA step of the big-n streaming kernels runs in the
+# emulator — plus the randomized fuzz sweep. The full suite runs
+# locally / pre-release (~30 min on 2 cores).
+SLOW_MODULES = {
+    'test_stream_t', 'test_pallas_fft', 'test_pallas_map', 'test_packed',
+    'test_fuzz', 'test_sharding', 'test_compile',
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope='session', autouse=True)
 def session_fixture():
