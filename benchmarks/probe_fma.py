@@ -17,11 +17,15 @@ Run on the chip: python benchmarks/probe_fma.py
 """
 
 import functools
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import dsc_tpu  # noqa: F401  — enables x64 + the TPU compile cache
 from dsc_tpu.ops import pallas_map as pm

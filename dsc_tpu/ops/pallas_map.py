@@ -39,9 +39,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-# (2048, 128) f32 = 1 MiB per buffer per operand (measured best on v5e
-# round-robin, benchmarks/probe_stream.py)
-CHUNK_ROWS = 2048
+# (4096, 128) f32 = 2 MiB per buffer per operand. Round-4 sweep
+# (benchmarks/probe_fma.py, 3 round-robin rounds x 8 configs on-chip):
+# DEPTH=8/CHUNK=4096 medians 858 GB/s on the 256-MiB fma — past the
+# 90%-of-819-GB/s BASELINE target — vs 744 for the old 4/2048. Bigger
+# in-flight copies amortize the per-DMA latency this tunnel's clock
+# drift exposes; 8x2 MiB x 3 operands = 48 MiB of VMEM, still < half.
+CHUNK_ROWS = int(os.environ.get('DSC_MAP_CHUNK_ROWS', '4096'))
 
 # elements below this take the XLA path (kernel overhead dominates)
 MIN_ELEMS = 2**21  # 8 MiB f32
@@ -50,10 +54,10 @@ MIN_ELEMS = 2**21  # 8 MiB f32
 # 'off' disables (escape hatch, SURVEY §5.6-style knob)
 MODE = os.environ.get('DSC_MAP_STREAM', 'auto')
 
-# software-pipeline depth (static buffer sets). 4-deep beats double
-# buffering by ~15-20% on v5e (fma 256 MiB: ~580 -> ~680 GB/s, same-run
-# round-robin A/B) — more in-flight 1-MiB DMAs hide per-tile latency.
-DEPTH = max(2, int(os.environ.get('DSC_MAP_DEPTH', '4')))
+# software-pipeline depth (static buffer sets). 4-deep beat double
+# buffering by ~15-20% in round 2; the round-4 sweep (probe_fma.py)
+# moved the median winner to 8-deep with 2-MiB chunks (858 GB/s).
+DEPTH = max(2, int(os.environ.get('DSC_MAP_DEPTH', '8')))
 
 # broadcast-row replication strategy inside the kernel (A/B-able):
 # 'vrep'   — replicate ONCE into a full (rows, 128) VMEM buffer at kernel
@@ -395,12 +399,20 @@ def stream_map_multi(
     rem_rows = total_rows % rows
     n_out = len(out_dtypes)
 
+    # clamp pipeline depth so the static buffer sets stay within ~64 MiB
+    # of the 128-MiB VMEM regardless of operand fan-in: the 8 x 2 MiB
+    # default is tuned for the 2-in/1-out shape; a wide dsc.map chain
+    # (many streamed inputs + multi-output) scales buffers linearly
+    chunk_bytes = rows * LANES * 4
+    n_buf_ops = len(streamed) + n_out
+    depth = max(2, min(DEPTH, (64 * 2**20) // max(chunk_bytes * n_buf_ops, 1)))
+
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
         functools.partial(
             _map_kernel, kfn, len(streamed), len(brows), brow_tiles,
-            len(scalars), n_out, rows, rem_rows, DEPTH,
+            len(scalars), n_out, rows, rem_rows, depth,
         ),
         in_specs=[anyspec] * (len(streamed) + len(brows))
         + [smem] * len(scalars),
