@@ -47,30 +47,43 @@ def use_pallas(dtype, n: int) -> bool:
     return _on_tpu()
 
 
-# 'auto': half-size packed real FFT (packed.py — rfft_n as one n/2
-# complex engine + untangle) for single-vector streaming rfft/irfft.
-# Round-4 on-chip A/B (probe_packed.py, PERF.md): the XLA-level
-# composition pays ~0.85 ms of deint/inter matmuls plus ~1 ms of
-# untangle/entangle copy passes at 2^24 and LOSES to the full-size
-# engine (3.5 vs ~2.1 ms/pair), so 'auto' resolves to OFF until the
-# selections/untangle are folded into the Pallas phases. 'on' opts in
-# (interpret mode off TPU). Read at trace time: flipping it
-# mid-process does not retrace already-jitted shapes.
+# Half-size packed real FFT (rfft_n as one n/2 complex engine +
+# untangle) for single-vector streaming rfft/irfft. Three settings:
+#   'auto'  — the FUSED engine (packed_fused.py: selection/untangle/
+#             entangle/interleave all inside the Pallas phases; ~2.0 vs
+#             3.0 size-n MXU phase-equivalents per pair) when its shape
+#             constraints hold, else the full-size engine.
+#   'xla'   — the XLA-composed packed engine (packed.py) — kept for
+#             A/B experiments; loses at 2^24 (round-4 measurement:
+#             ~1.7 ms of XLA deint/untangle passes per pair).
+#   'on'    — force fused (interpret mode off TPU); 'off' — full-size.
+# Read at trace time: flipping it mid-process does not retrace
+# already-jitted shapes.
 PACKED_MODE = os.environ.get('DSC_FFT_PACKED', 'auto')
 
 
-def use_packed(n1: int, n2: int) -> bool:
-    """Route a single-vector half-T rfft/irfft through the packed
-    half-size engine (inner complex four-step at (n1, n2/2))."""
+def packed_impl(n1: int, n2: int):
+    """Which packed engine handles a single-vector half-T rfft/irfft:
+    'fused' | 'xla' | None (full-size engine)."""
     from .. import flags
 
     if PACKED_MODE == 'off' or flags.xla_only_active():
-        return False
-    from . import packed
+        return None
+    if PACKED_MODE == 'xla':
+        from . import packed
 
-    if not packed.supported(n1, n2):
-        return False
-    return PACKED_MODE == 'on'
+        return 'xla' if packed.supported(n1, n2) else None
+    from . import packed_fused
+
+    if not packed_fused.supported(n1, n2):
+        return None
+    if PACKED_MODE in ('auto', 'on'):
+        return 'fused'
+    return None
+
+
+def use_packed(n1: int, n2: int) -> bool:
+    return packed_impl(n1, n2) is not None
 
 
 # Largest batch*n the streaming kernel takes on at once: the planar

@@ -357,13 +357,20 @@ def fft_stream_axis(x, n1, n2, axis, inverse):
 def rfft_stream_half_t(x, n1, n2):
     """(m,)-ish real vector (pad/crop to n) -> hermitian-half T-layout
     planes (n1 + pad, n2/2 + 128). Routes through the packed half-size
-    engine (packed.py: one n/2 complex four-step + untangle, -33% MXU
-    work) when config.use_packed allows; the full-size real engine is
+    engine (one n/2 complex engine via the even/odd packing, -33% MXU
+    work per pair — fully fused in packed_fused.py, XLA-composed in
+    packed.py) per config.packed_impl; the full-size real engine is
     the fallback and the DSC_FFT_PACKED=off escape hatch."""
     from . import config, pallas_stream_t
 
     xb, _ = _rows(x, n1 * n2)
-    if config.use_packed(n1, n2):
+    impl = config.packed_impl(n1, n2)
+    if impl == 'fused':
+        from . import packed_fused
+
+        return packed_fused.rfft_half_t_packed_fused(
+            xb.reshape(-1), n1, n2)
+    if impl == 'xla':
         from . import packed
 
         return packed.rfft_half_t_packed(xb.reshape(-1), n1, n2)
@@ -376,7 +383,12 @@ def irfft_stream_from_half_t(hr, hi, n1, n2):
     """Hermitian-half T-layout planes -> (n,) real inverse."""
     from . import config, pallas_stream_t
 
-    if config.use_packed(n1, n2):
+    impl = config.packed_impl(n1, n2)
+    if impl == 'fused':
+        from . import packed_fused
+
+        return packed_fused.irfft_from_half_t_packed_fused(hr, hi, n1, n2)
+    if impl == 'xla':
         from . import packed
 
         return packed.irfft_from_half_t_packed(hr, hi, n1, n2)

@@ -34,7 +34,7 @@ import dsc_tpu as dsc  # noqa: E402
 # locally / pre-release (~30 min on 2 cores).
 SLOW_MODULES = {
     'test_stream_t', 'test_pallas_fft', 'test_pallas_map', 'test_packed',
-    'test_fuzz', 'test_sharding', 'test_compile',
+    'test_packed_fused', 'test_fuzz', 'test_sharding', 'test_compile',
 }
 
 
