@@ -84,10 +84,13 @@ def wait_for_backend(max_wait_s: float = None) -> bool:
 
 
 def _drain(t) -> None:
-    """1-element real download of a Tensor/array: forces a true device
-    queue drain (block_until_ready lies for side-effecting pallas)."""
+    """1-element real download of a Tensor/array (or the first leaf of a
+    tuple state): forces a true device queue drain (block_until_ready
+    lies for side-effecting pallas)."""
     import jax.numpy as jnp
 
+    if isinstance(t, (tuple, list)):
+        t = t[0]
     pp = getattr(t, '_planar', None)
     leaf = pp.re if pp is not None else getattr(t, 'jax', t)
     x = leaf.ravel()[:1]
@@ -102,7 +105,11 @@ def bench_eager(step, state, k_base: int = K_BASE) -> float:
     interleaved t(k)/t(2k) samples (robust to tunnel latency spikes that
     drive a median-of-paired-differences negative). The DEPENDENT
     feedback chain rules out any same-arguments execution caching in the
-    runtime. Retries on a non-positive difference; as the driver-run
+    runtime. Runs 3 interleaved attempt rounds and keeps the MINIMUM
+    positive marginal — the reference's own min-of-5 drift defense
+    (benchmarks/python/utils.py:11-12); PERF.md documents ±30-50%
+    cross-run drift on this tunnel, which single-round medians lose to
+    (round-4 fma: 712.8 driver-run vs 858 tuned). As the driver-run
     headline must always print, the last resort is the positive floor of
     the observed per-op upper bound t(2k)/(2k) rather than an error."""
     _drain(step(state))  # warm + establish the d2h sync path
@@ -118,6 +125,7 @@ def bench_eager(step, state, k_base: int = K_BASE) -> float:
 
     _, state = t(k_base, state)  # pair-priming throwaway
     t2_med = None
+    best = None
     for _attempt in range(3):
         t1s, t2s = [], []
         for _ in range(REPS):
@@ -128,7 +136,9 @@ def bench_eager(step, state, k_base: int = K_BASE) -> float:
         t2_med = sorted(t2s)[len(t2s) // 2]
         d = (t2_med - sorted(t1s)[len(t1s) // 2]) / k_base
         if d > 0:
-            return d
+            best = d if best is None else min(best, d)
+    if best is not None:
+        return best
     print('# bench_eager: non-positive marginal after 3 attempts; '
           'reporting t(2k)/2k upper bound', file=sys.stderr)
     return t2_med / (2 * k_base)
@@ -146,25 +156,72 @@ def bench_host(fn) -> float:
 
 def chain_main() -> None:
     """--chain subprocess: jit-chained device time of the public-path
-    programs (straight-line chains; no while-carry copy artifact). More
-    compile-heavy than the eager parent, so it runs under a hard timeout
-    and merely UPGRADES the parent's numbers when it finishes."""
-    import functools
+    programs. One chain program per row (K pairs straight-lined inside a
+    single jit — no while-carry copy artifact, half the compile surface
+    of the old k/2k two-program scheme that blew the round-4 budget),
+    marginal measured by pipelined-dispatch differencing over the NUMBER
+    OF CHAIN CALLS with a true 1-element d2h drain per sample —
+    block_until_ready alone returns before side-effecting pallas
+    programs finish on this backend (PERF.md "the tunnel lies twice"; the
+    round-4 chain_time used it and read fma at 1172 GB/s, above the 819
+    GB/s HBM peak — physically impossible, hence this rewrite).
+
+    Inputs are generated ON DEVICE (values don't affect timing): the old
+    host-random h2d of 2x256 MiB through the tunnel wasted a large slice
+    of the budget. Each row's result prints as its own flushed JSON line
+    so the parent applies whatever milestones landed before a timeout
+    kill (partial upgrades instead of all-or-nothing)."""
+    t_start = time.time()
+
+    def ms(tag: str) -> None:
+        print(f'# chain: {tag} @ {time.time() - t_start:.0f}s',
+              file=sys.stderr, flush=True)
 
     import jax
     import jax.numpy as jnp
 
     import dsc_tpu as dsc
     from dsc_tpu.fourier import core as fft_core
+    from dsc_tpu.fourier import pallas_stream as fft_ps
     from dsc_tpu.ops import kernels as ops_kernels
 
     dsc.init(int(8 * 2**30))
-    n = 2**24
-    rng = np.random.default_rng(42)
-    x = jnp.asarray(rng.standard_normal(n), jnp.float32)
-    np.asarray(x[:1])  # establish the d2h sync path
+    K = 4  # pairs per chain program
 
-    from dsc_tpu.fourier import pallas_stream as fft_ps
+    def marginal(step, state, m=3, reps=5):
+        """min-of-3-attempts differenced marginal of one jitted chain
+        call (same estimator as bench_eager, same drain)."""
+        state = step(state)
+        _drain(state)  # compile + warm
+        ms('compiled+warm')
+
+        def t(k, s):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                s = step(s)
+            _drain(s)
+            return time.perf_counter() - t0, s
+
+        _, state = t(m, state)
+        best = None
+        t2_med = None
+        for _ in range(3):
+            t1s, t2s = [], []
+            for _ in range(reps):
+                t1, state = t(m, state)
+                t2, state = t(2 * m, state)
+                t1s.append(t1)
+                t2s.append(t2)
+            t2_med = sorted(t2s)[len(t2s) // 2]
+            d = (t2_med - sorted(t1s)[len(t1s) // 2]) / m
+            if d > 0:
+                best = d if best is None else min(best, d)
+        return best if best is not None else t2_med / (2 * m)
+
+    n = 2**24
+    x = jax.random.normal(jax.random.PRNGKey(0), (n,), jnp.float32)
+    np.asarray(x[:1])  # establish the d2h sync path
+    ms('input ready')
 
     n1, n2 = fft_ps.factors(n)
 
@@ -174,33 +231,31 @@ def chain_main() -> None:
         hr, hi = fft_core.rfft_stream_half_t(v, n1, n2)
         return fft_core.irfft_stream_from_half_t(hr, hi, n1, n2)
 
-    def chain_time(step, state, k_base=4):
-        @functools.partial(jax.jit, static_argnames=('k',))
-        def chain(s, k):
-            for _ in range(k):
-                s = step(s)
-            return s
+    @jax.jit
+    def rt_chain(v):
+        for _ in range(K):
+            v = rt_step(v)
+        return v
 
-        def t(k):
-            jax.block_until_ready(chain(state, k=k))
-            best = float('inf')
-            for _ in range(3):
-                t0 = time.perf_counter()
-                jax.block_until_ready(chain(state, k=k))
-                best = min(best, time.perf_counter() - t0)
-            return best
-
-        return max((t(2 * k_base) - t(k_base)) / k_base, 1e-9)
-
-    t_pair = chain_time(rt_step, x)
-    np.asarray(rt_step(x)[:1])  # drain before the next compile
+    t_pair = marginal(rt_chain, x) / K
+    print(json.dumps({'t_pair': t_pair}), flush=True)
+    ms(f'rt pair {t_pair * 1e3:.2f} ms')
 
     ne = 2**26
-    a = jnp.asarray(rng.standard_normal(ne), jnp.float32)
-    b = jnp.asarray(rng.standard_normal(ne), jnp.float32)
-    t_fma = chain_time(lambda c: (ops_kernels.add(c[0], c[1], np.float32),
-                                  c[1]), (a, b))
-    print(json.dumps({'t_pair': t_pair, 't_fma': t_fma}))
+    ka, kb = jax.random.split(jax.random.PRNGKey(1))
+    a = jax.random.normal(ka, (ne,), jnp.float32)
+    b = jax.random.normal(kb, (ne,), jnp.float32)
+
+    @jax.jit
+    def fma_chain(c):
+        v, w = c
+        for _ in range(K):
+            v = ops_kernels.add(v, w, np.float32)
+        return v, w
+
+    t_fma = marginal(fma_chain, (a, b)) / K
+    print(json.dumps({'t_fma': t_fma}), flush=True)
+    ms(f'fma {t_fma * 1e3:.2f} ms')
 
 
 def main() -> None:
@@ -263,38 +318,56 @@ def main() -> None:
     gflops_np = flops_r / t_np / 1e9
 
     # ---- optional chain-measurement upgrade (bounded by the budget) -------
+    # The subprocess streams one flushed JSON line per milestone row into
+    # a temp file; on a timeout kill the parent applies whatever rows
+    # landed (round 4 lost the whole upgrade to one TimeoutExpired).
     remaining = BUDGET_S - (time.time() - t_start)
-    if remaining > 150 and not os.environ.get('DSC_BENCH_NO_CHAIN'):
+    if remaining > 120 and not os.environ.get('DSC_BENCH_NO_CHAIN'):
+        import tempfile
+
         proc = None
-        try:
-            proc = subprocess.Popen(
-                [sys.executable, os.path.abspath(__file__), '--chain'],
-                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
-                start_new_session=True, text=True,
-            )
-            out, _ = proc.communicate(timeout=remaining - 60)
-            vals = json.loads(out.strip().splitlines()[-1])
-            # one consistent methodology for the headline: when the chain
-            # run completes, its jitted device time IS the number (the
-            # eager figure additionally pays ~0.4 ms/op of remote-tunnel
-            # client dispatch a local caller would not); both figures go
-            # to stderr so neither measurement is hidden
+        vals = {}
+        with tempfile.TemporaryFile('w+') as chain_out:
+            try:
+                proc = subprocess.Popen(
+                    [sys.executable, os.path.abspath(__file__), '--chain'],
+                    stdout=chain_out, stderr=sys.stderr,
+                    start_new_session=True, text=True,
+                )
+                proc.wait(timeout=max(remaining - 45, 90))
+            except Exception as e:  # noqa: BLE001 — timeout/wedge
+                if proc is not None:
+                    try:
+                        os.killpg(proc.pid, signal.SIGKILL)
+                    except OSError:
+                        pass
+                print(f'# chain run interrupted: {type(e).__name__}',
+                      file=sys.stderr)
+            chain_out.seek(0)
+            for line in chain_out:
+                try:
+                    vals.update(json.loads(line))
+                except ValueError:
+                    pass
+        if vals:
+            # one consistent methodology for the headline: when a chain
+            # row lands, its jitted device time IS the number (the eager
+            # figure additionally pays ~0.4 ms/op of remote-tunnel client
+            # dispatch a local caller would not); both figures go to
+            # stderr so neither measurement is hidden
             print(f'# eager marginals (tunnel): rfft '
                   f'{t_rfft*1e3:.2f} ms, fma {t_fma*1e3:.2f} ms',
                   file=sys.stderr)
-            t_rfft = vals['t_pair'] / 2
-            gflops_rfft = flops_r / t_rfft / 1e9
-            t_fma = vals['t_fma']
-            gbs_fma = 3 * ne * 4 / t_fma / 1e9
-            print('# chain upgrade: applied (headline = jit-chain device '
-                  'time)', file=sys.stderr)
-        except Exception as e:  # noqa: BLE001 — timeout/wedge: keep eager
-            if proc is not None:
-                try:
-                    os.killpg(proc.pid, signal.SIGKILL)
-                except OSError:
-                    pass
-            print(f'# chain upgrade skipped: {type(e).__name__}',
+            if 't_pair' in vals:
+                t_rfft = vals['t_pair'] / 2
+                gflops_rfft = flops_r / t_rfft / 1e9
+            if 't_fma' in vals:
+                t_fma = vals['t_fma']
+                gbs_fma = 3 * ne * 4 / t_fma / 1e9
+            print(f'# chain upgrade: applied ({"+".join(sorted(vals))} = '
+                  'jit-chain device time)', file=sys.stderr)
+        else:
+            print('# chain upgrade skipped: no milestone rows landed',
                   file=sys.stderr)
 
     print(

@@ -51,6 +51,26 @@ def _tdf2_matrices(b, a):
 _LINREC_M = 256  # chunk length; on-chip sweep best of {64..1024}
 _LINREC_BASE = 512  # below this, a flat associative scan is fine
 
+# Plan cache, the FFT-plan-cache pattern (reference dsc.cpp:182-267)
+# applied to recurrence weights: _linrec_plan rebuilds ~1.3 MB of host
+# f64 ladder AND re-uploads it through the ~30 ms-RTT tunnel on every
+# call without it — measured round 5 as the bulk of sosfilt's 83 ms/call
+# (device compute is ~2 ms). Keyed on the exact (A, c, n) bytes; FIFO
+# eviction at 32 entries like the reference's 16-slot pseudo-LRU.
+_PLAN_CACHE: dict = {}
+_MAX_PLANS = 32
+
+
+def _linrec_plan_cached(A, c, n):
+    key = (np.asarray(A, np.float64).tobytes(),
+           np.asarray(c, np.float64).tobytes(), int(n))
+    hit = _PLAN_CACHE.get(key)
+    if hit is None:
+        if len(_PLAN_CACHE) >= _MAX_PLANS:
+            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+        hit = _PLAN_CACHE[key] = _linrec_plan(A, c, n)
+    return hit
+
 
 def _linrec_plan(A, c, n):
     """HOST-side (numpy, f64) weight ladder for the block-Toeplitz
@@ -262,7 +282,7 @@ def lfilter(b, a, x: Tensor, zi=None, method: str = 'parallel'):
                 f'lfilter: zi has shape {tuple(z0.shape)}, expected '
                 f'({xj.shape[0]}, {m})'
             )
-    plan = (_linrec_plan(A, c, xj.shape[1])
+    plan = (_linrec_plan_cached(A, c, xj.shape[1])
             if method == 'parallel' and xj.shape[1] >= 4096 else None)
     with tracing.trace_op(
         'lfilter', 'op;pipeline', tracing.tensor_args(x=x)
@@ -314,29 +334,43 @@ def sosfilt(sos, x: Tensor, zi=None, method: str = 'parallel'):
                 f'sosfilt: zi has shape {z0.shape}, expected '
                 f'({xj.shape[0]}, {ns}, 2)'
             )
+    secs = [_tdf2_matrices(sos[s, :3], sos[s, 3:]) for s in range(ns)]
+    plans = None
+    if method == 'parallel' and xj.shape[1] >= 4096:
+        plans = tuple(_linrec_plan_cached(A, c, xj.shape[1])
+                      for A, c in secs)
+    As = np.stack([A for A, _ in secs]).astype(np.float32)
+    cs = np.stack([c for _, c in secs]).astype(np.float32)
+    b0s = sos[:, 0].astype(np.float32)
     targs = tracing.tensor_args(x=x)
     targs['n_sections'] = ns
     with tracing.trace_op('sosfilt', 'op;pipeline', targs) as tr:
-        y = xj
-        zfs = []
-        for s in range(ns):
-            A, c = _tdf2_matrices(sos[s, :3], sos[s, 3:])
-            plan = (_linrec_plan(A, c, xj.shape[1])
-                    if method == 'parallel' and xj.shape[1] >= 4096
-                    else None)
-            y, zf = _affine_filter(
-                y, jnp.asarray(A, jnp.float32), jnp.asarray(c, jnp.float32),
-                np.float32(sos[s, 0]), jnp.asarray(z0[:, s]), method=method,
-                plan=plan,
-            )
-            zfs.append(zf)
+        # whole cascade as ONE program: the old per-section eager loop
+        # paid a tunnel dispatch per section on top of the per-call plan
+        # rebuild (round-5 sosfilt fix, VERDICT r4 item 4)
+        y, zf_all = _sosfilt_program(xj, As, cs, b0s, z0, method, plans)
         if tr:
             tr.result = y
     yt = Tensor._from_jax(y if batched else y[0])
     if want_state:
-        zf_all = jnp.stack(zfs, axis=1)
         return yt, Tensor._from_jax(zf_all if batched else zf_all[0])
     return yt
+
+
+@partial(jax.jit, static_argnames=('method',))
+def _sosfilt_program(xb, As, cs, b0s, z0, method, plans=None):
+    """Second-order-section cascade as one jitted chain (the sosfilt
+    analog of _sosfiltfilt_program). Returns (y, zf (b, ns, 2))."""
+    ns = As.shape[0]
+    y = xb
+    zfs = []
+    for s in range(ns):
+        y, zf = _affine_filter(
+            y, As[s], cs[s], b0s[s], z0[:, s], method=method,
+            plan=None if plans is None else plans[s],
+        )
+        zfs.append(zf)
+    return y, jnp.stack(zfs, axis=1)
 
 
 def _sos_zi_unit(sos: np.ndarray) -> np.ndarray:
@@ -402,7 +436,8 @@ def sosfiltfilt(sos, x: Tensor, padlen: Optional[int] = None,
     plans = None
     if method == 'parallel' and n_ext >= 4096:
         plans = tuple(
-            _linrec_plan(*_tdf2_matrices(sos[s, :3], sos[s, 3:]), n_ext)
+            _linrec_plan_cached(*_tdf2_matrices(sos[s, :3], sos[s, 3:]),
+                                n_ext)
             for s in range(ns))
     with tracing.trace_op(
         'sosfiltfilt', 'op;pipeline', tracing.tensor_args(x=x)

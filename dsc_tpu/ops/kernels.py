@@ -105,12 +105,15 @@ BINARY = {'add': add, 'sub': sub, 'mul': mul, 'div': div, 'pow': pow_}
 # ---------------------------------------------------------------------------
 
 
-def _unary(fn, complex_fn=None):
+def _unary(fn, complex_fn=None, stream_fn=None):
     """``complex_fn`` (when given) handles complex inputs via explicit
     real-arithmetic formulas: XLA's native complex transcendental
     lowerings WEDGE the axon TPU backend (a complex64 jnp.log at
     (60, 60000) hangs the compile/execute path deterministically), and
-    the real formulas also fuse better."""
+    the real formulas also fuse better. ``stream_fn`` (when given)
+    replaces ``fn`` INSIDE the streaming pallas kernel — used for the
+    cheap-polynomial transcendentals (streaming is f32-only, where they
+    hold the 1e-5 oracle; see _fast_sin_f32)."""
     @jax.jit
     def op(x):
         from . import pallas_map
@@ -118,7 +121,7 @@ def _unary(fn, complex_fn=None):
         if complex_fn is not None and jnp.iscomplexobj(x):
             return complex_fn(x)
         if pallas_map.eligible((x.shape,), (x.dtype,)):
-            return pallas_map.stream_map(fn, x)
+            return pallas_map.stream_map(stream_fn or fn, x)
         return fn(x)
 
     return op
@@ -210,8 +213,59 @@ def _csinc(x):
 _LN2 = float(np.log(2.0))
 _LN10 = float(np.log(10.0))
 
-cos = _unary(jnp.cos, _ccos)
-sin = _unary(jnp.sin, _csin)
+# ---------------------------------------------------------------------------
+# fast f32 sin/cos for the streaming-kernel path. Mosaic's native sine
+# costs ~30 VPU ops/element — measured transcendental-bound at
+# 33.9 Gelem/s while the DMA path has ~2x headroom (PERF.md round-4
+# root-cause). This Cody-Waite range reduction (x = k*pi + r,
+# r in [-pi/2, pi/2], 4-part pi to keep r exact near sin's zeros) plus
+# a degree-9 odd weighted-least-squares minimax polynomial costs ~17
+# ops/element: max abs err ~1.6e-7 (~1 ulp) vs f64 sin for |x| <= 1e4,
+# comfortably inside the 1e-5 NumPy oracle (test_ops.py:32-35). Parity
+# of k via int32 flips the half-period sign; |x| beyond ~2^24 is
+# meaningless in f32 anyway (ulp > 2pi). f32-only: the streaming kernel
+# only ever sees f32 tiles (pallas_map.eligible).
+# ---------------------------------------------------------------------------
+
+_INV_PI = 0.3183098861837907
+_PI_PARTS = (3.140625, 0.0009670257568359375, 6.2771141e-07, 1.2154201e-10)
+_SINPOLY = (0.9999999946625908, -0.16666656657956302, 0.008333024646433733,
+            -0.00019807388155308192, 2.601842986663649e-06)
+
+
+def _sin_reduced(r):
+    r2 = r * r
+    p = r2 * np.float32(_SINPOLY[4]) + np.float32(_SINPOLY[3])
+    for c in _SINPOLY[2::-1]:
+        p = p * r2 + np.float32(c)
+    return r * p
+
+
+def _fast_sin_f32(x):
+    k = jnp.round(x * np.float32(_INV_PI))
+    r = x
+    for part in _PI_PARTS:
+        r = r - k * np.float32(part)
+    s = _sin_reduced(r)
+    odd = (k.astype(jnp.int32) & 1) == 1
+    return jnp.where(odd, -s, s)
+
+
+def _fast_cos_f32(x):
+    # cos(x) = sin(x + pi/2): reduce against the half-integer grid
+    # j = k - 1/2 (exact in f32) so the shift costs no extra rounding.
+    k = jnp.round(x * np.float32(_INV_PI) + np.float32(0.5))
+    j = k - np.float32(0.5)
+    r = x
+    for part in _PI_PARTS:
+        r = r - j * np.float32(part)
+    s = _sin_reduced(r)
+    odd = (k.astype(jnp.int32) & 1) == 1
+    return jnp.where(odd, -s, s)
+
+
+cos = _unary(jnp.cos, _ccos, stream_fn=_fast_cos_f32)
+sin = _unary(jnp.sin, _csin, stream_fn=_fast_sin_f32)
 sinc = _unary(jnp.sinc, _csinc)
 logn = _unary(jnp.log, _clog)
 log2 = _unary(jnp.log2, _clog_scaled(1.0 / _LN2))

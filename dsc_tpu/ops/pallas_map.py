@@ -39,13 +39,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-# (4096, 128) f32 = 2 MiB per buffer per operand. Round-4 sweep
-# (benchmarks/probe_fma.py, 3 round-robin rounds x 8 configs on-chip):
-# DEPTH=8/CHUNK=4096 medians 858 GB/s on the 256-MiB fma — past the
-# 90%-of-819-GB/s BASELINE target — vs 744 for the old 4/2048. Bigger
-# in-flight copies amortize the per-DMA latency this tunnel's clock
-# drift exposes; 8x2 MiB x 3 operands = 48 MiB of VMEM, still < half.
-CHUNK_ROWS = int(os.environ.get('DSC_MAP_CHUNK_ROWS', '4096'))
+# (16384, 128) f32 = 8 MiB per buffer per operand. Round-5 re-sweep with
+# the jit-chain instrument (benchmarks/probe_fma5.py — the round-4 sweep
+# used the eager estimator, which probe_chain_fma.py caught reading
+# above HBM peak): big chunks amortize per-DMA overhead; D=2/C=16384
+# medians 655 GB/s on the 256-MiB fma vs 596 for the old 8/4096, with
+# ±20% cross-round drift (shared-tenant HBM). The depth clamp below
+# turns DEPTH=8 into 2 sets for 3-operand ops / 4 sets for unary.
+CHUNK_ROWS = int(os.environ.get('DSC_MAP_CHUNK_ROWS', '16384'))
 
 # elements below this take the XLA path (kernel overhead dominates)
 MIN_ELEMS = 2**21  # 8 MiB f32
@@ -54,9 +55,10 @@ MIN_ELEMS = 2**21  # 8 MiB f32
 # 'off' disables (escape hatch, SURVEY §5.6-style knob)
 MODE = os.environ.get('DSC_MAP_STREAM', 'auto')
 
-# software-pipeline depth (static buffer sets). 4-deep beat double
-# buffering by ~15-20% in round 2; the round-4 sweep (probe_fma.py)
-# moved the median winner to 8-deep with 2-MiB chunks (858 GB/s).
+# software-pipeline depth (static buffer sets), clamped per-op by the
+# VMEM budget in stream_map_multi. With 8-MiB chunks the clamp is the
+# binding setting (2-3 sets); DEPTH only matters for small arrays where
+# rows < CHUNK_ROWS shrinks the buffers.
 DEPTH = max(2, int(os.environ.get('DSC_MAP_DEPTH', '8')))
 
 # broadcast-row replication strategy inside the kernel (A/B-able):
@@ -393,19 +395,28 @@ def stream_map_multi(
 
     total_rows = ne // LANES  # multiple of 8 (eligible: ne % 1024 == 0)
     rows = min(CHUNK_ROWS, total_rows)
+    n_out = len(out_dtypes)
+    n_buf_ops = len(streamed) + n_out
+    # shrink tiles for wide fan-in (dsc.map chains) so 2 buffer sets plus
+    # the 6-tile temp reserve fit the scoped-vmem limit at any operand
+    # count
+    while rows > 512 and (2 * n_buf_ops + 6) * rows * LANES * 4 > 96 * 2**20:
+        rows //= 2
     if brow_idx:
         # row-aligned tiles so the replicated row lines up
         rows -= rows % brow_tiles
     rem_rows = total_rows % rows
-    n_out = len(out_dtypes)
 
-    # clamp pipeline depth so the static buffer sets stay within ~64 MiB
-    # of the 128-MiB VMEM regardless of operand fan-in: the 8 x 2 MiB
-    # default is tuned for the 2-in/1-out shape; a wide dsc.map chain
-    # (many streamed inputs + multi-output) scales buffers linearly
+    # clamp pipeline depth against the 96-MiB scoped-vmem limit: Mosaic
+    # allocates the op's VPU temporaries on the SAME stack as our static
+    # buffer sets, so reserve ~6 tile-sized temps for the fn (the sin/cos
+    # polynomial chains keep ~5 live at 16384-row tiles; an 8-MiB-tile
+    # sin at the old 64-MiB budget OOMed the scoped stack by 7.8 MiB —
+    # round-5 probe_sin5). A wide dsc.map chain (many streamed inputs +
+    # multi-output) additionally scales the buffer term linearly.
     chunk_bytes = rows * LANES * 4
-    n_buf_ops = len(streamed) + n_out
-    depth = max(2, min(DEPTH, (64 * 2**20) // max(chunk_bytes * n_buf_ops, 1)))
+    budget = 96 * 2**20 - 6 * chunk_bytes
+    depth = max(2, min(DEPTH, budget // max(chunk_bytes * n_buf_ops, 1)))
 
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)

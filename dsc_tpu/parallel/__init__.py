@@ -2,6 +2,8 @@ from .mesh import make_mesh
 from .sharded_fft import (
     distributed_fft,
     distributed_fft_stream,
+    distributed_irfft_stream,
+    distributed_rfft_stream,
     shard_batch,
     sharded_batched_fft,
     sharded_batched_rfft,
@@ -14,4 +16,6 @@ __all__ = [
     'sharded_batched_rfft',
     'distributed_fft',
     'distributed_fft_stream',
+    'distributed_rfft_stream',
+    'distributed_irfft_stream',
 ]

@@ -193,6 +193,143 @@ def distributed_fft_stream(
     return run(jnp.real(x).reshape(n1, n2), jnp.imag(x).reshape(n1, n2))
 
 
+def _half_phasors(n: int):
+    """Untangle phasors w_k = exp(-2i*pi*k/n), k = 0..n/2, as f32 planes
+    computed in host f64 (the packed single-chip engine's twiddle
+    discipline, fourier/packed_fused.py)."""
+    k = np.arange(n // 2 + 1, dtype=np.float64)
+    ang = -2.0 * np.pi * k / n
+    return (jnp.asarray(np.cos(ang).astype(np.float32)),
+            jnp.asarray(np.sin(ang).astype(np.float32)))
+
+
+def _dist_stream_mapped(mesh, axis, n1, n2, inverse, real_output=False):
+    """shard_map'd local phase-A -> all_to_all -> phase-B of the
+    streaming four-step (the body of distributed_fft_stream)."""
+    from ..fourier import pallas_stream as ps
+
+    n = n1 * n2
+    n2d = n2 // mesh.shape[axis]
+
+    def local(xr_l, xi_l):
+        col0 = jax.lax.axis_index(axis) * jnp.int32(n2d)
+        zr, zi = ps.phase_a_local_p(xr_l, xi_l, n1, n, col0, inverse)
+        zr = jax.lax.all_to_all(zr, axis, split_axis=1, concat_axis=0,
+                                tiled=True)
+        zi = jax.lax.all_to_all(zi, axis, split_axis=1, concat_axis=0,
+                                tiled=True)
+        return ps.phase_b_local_p(zr, zi, n2, n, inverse,
+                                  real_output=real_output)
+
+    out_specs = ((P(None, axis), P(None, axis)) if not real_output
+                 else (P(None, axis), P()))
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis)),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+
+
+def _dist_rfft_supported(n: int, mesh: Mesh, axis: str, who: str):
+    from ..fourier import pallas_stream as ps
+
+    d = mesh.shape[axis]
+    if n % 2:
+        raise RuntimeError(f'{who}: n must be even, got {n}')
+    h = n // 2
+    n1, n2 = ps.factors(h)
+    if not ps.dist_supported(n1, n2, d, np.complex64):
+        raise RuntimeError(
+            f'{who}: n={n} (half-size factors {n1}x{n2}) is not '
+            f'streamable over {d} devices — need both factors divisible '
+            f'by {d} into even >= 2-tile 128-lane blocks'
+        )
+    return h, n1, n2
+
+
+def distributed_rfft_stream(
+    x: jax.Array, mesh: Mesh, axis: str = 'model'
+) -> jax.Array:
+    """ONE huge REAL FFT sharded over the mesh: the classic half-size
+    packing (z[t] = x[2t] + i*x[2t+1], reference dsc_fft.h:178-238) on
+    top of the sharded streaming four-step — each chip runs Pallas
+    phase A on its column block of the n/2-point complex transform, the
+    four-step transpose is one ``all_to_all`` over ICI, phase B runs on
+    the k1 shard, and the Hermitian untangle
+    ``X[k] = E[k] + w_k O[k]`` runs under jit on the sharded spectrum
+    (its mirror reversal is the "Hermitian-half exchange": XLA lays the
+    flip down as a collective permute across the shards).
+
+    x: (n,) float32, n/2 = n1*n2 streamable over the mesh axis
+    (dist_supported). Returns the (n/2+1,) complex64 half spectrum.
+    """
+    n = x.shape[-1]
+    if x.ndim != 1:
+        raise RuntimeError(
+            f'distributed_rfft_stream expects a single (n,) vector, got '
+            f'{x.ndim}-D (batch rows shard with sharded_batched_rfft)'
+        )
+    h, n1, n2 = _dist_rfft_supported(n, mesh, axis,
+                                     'distributed_rfft_stream')
+    mapped = _dist_stream_mapped(mesh, axis, n1, n2, inverse=False)
+    wr, wi = _half_phasors(n)
+
+    @jax.jit
+    def run(xr, wr, wi):
+        z2 = xr.reshape(h, 2)  # even/odd pack: z = x[2t] + i x[2t+1]
+        yr, yi = mapped(z2[:, 0].reshape(n1, n2),
+                        z2[:, 1].reshape(n1, n2))
+        zfr = jnp.concatenate([yr.reshape(h), yr.reshape(h)[:1]])
+        zfi = jnp.concatenate([yi.reshape(h), yi.reshape(h)[:1]])
+        mr, mi = zfr[::-1], zfi[::-1]  # Z[(h-k) mod h]
+        er, ei = 0.5 * (zfr + mr), 0.5 * (zfi - mi)
+        outr, outi = 0.5 * (zfi + mi), -0.5 * (zfr - mr)  # O = -i(Z-Z~*)/2
+        return jax.lax.complex(er + wr * outr - wi * outi,
+                               ei + wr * outi + wi * outr)
+
+    return run(x, wr, wi)
+
+
+def distributed_irfft_stream(
+    x: jax.Array, mesh: Mesh, axis: str = 'model'
+) -> jax.Array:
+    """Inverse of distributed_rfft_stream: (n/2+1,) complex64 Hermitian
+    half spectrum -> (n,) float32, via the entangle
+    ``Z[k] = E[k] + i conj(w_k) D[k]`` (D = (X[k] - conj(X[h-k]))/2)
+    followed by the sharded streaming inverse four-step at n/2 and the
+    even/odd re-interleave."""
+    nh = x.shape[-1]
+    if x.ndim != 1:
+        raise RuntimeError(
+            f'distributed_irfft_stream expects a single (n/2+1,) '
+            f'vector, got {x.ndim}-D'
+        )
+    n = 2 * (nh - 1)
+    h, n1, n2 = _dist_rfft_supported(n, mesh, axis,
+                                     'distributed_irfft_stream')
+    mapped = _dist_stream_mapped(mesh, axis, n1, n2, inverse=True)
+    wr, wi = _half_phasors(n)
+
+    @jax.jit
+    def run(xc, wr, wi):
+        xr_, xi_ = jnp.real(xc), jnp.imag(xc)
+        mr, mi = xr_[::-1], xi_[::-1]  # X[h-k]
+        er, ei = 0.5 * (xr_ + mr), 0.5 * (xi_ - mi)
+        dr, di = 0.5 * (xr_ - mr), 0.5 * (xi_ + mi)
+        # O = conj(w) * D; Z = E + i O, k = 0..h-1
+        outr = wr * dr + wi * di
+        outi = wr * di - wi * dr
+        zr = (er - outi)[:h].reshape(n1, n2)
+        zi = (ei + outr)[:h].reshape(n1, n2)
+        yr, yi = mapped(zr, zi)  # z = IFFT_h(Z), 1/h scaling in-kernel
+        # x[2t] = Re z[t], x[2t+1] = Im z[t]
+        return jnp.stack([yr.reshape(h), yi.reshape(h)], axis=-1).reshape(n)
+
+    return run(x, wr, wi)
+
+
 def sharded_batched_rfft(
     x: jax.Array, mesh: Mesh, axis: str = 'data'
 ) -> jax.Array:

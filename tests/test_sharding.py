@@ -8,6 +8,8 @@ import pytest
 from dsc_tpu.parallel import (
     distributed_fft,
     distributed_fft_stream,
+    distributed_irfft_stream,
+    distributed_rfft_stream,
     make_mesh,
     shard_batch,
     sharded_batched_fft,
@@ -91,6 +93,43 @@ def test_sharded_batched_streaming_rfft():
         fcfg.STREAM_MODE = old
     ref = np.fft.rfft(x, axis=-1)
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+
+
+@needs_devices
+def test_distributed_rfft_stream_2_20():
+    # the flagship REAL transform sharded over the mesh (VERDICT r4
+    # item 5): half-size even/odd packing on the sharded streaming
+    # four-step + Hermitian untangle
+    mesh = make_mesh((4, 2), axis_names=('data', 'model'))
+    n = 2**20  # half-size factors 512 x 1024, divisible by d=2
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal(n).astype(np.float32)
+    got = np.asarray(distributed_rfft_stream(jax.numpy.asarray(x), mesh))
+    ref = np.fft.rfft(x)
+    assert got.shape == (n // 2 + 1,)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+
+    back = np.asarray(distributed_irfft_stream(
+        jax.numpy.asarray(ref.astype(np.complex64)), mesh))
+    assert back.shape == (n,)
+    assert np.abs(back - x).max() < 1e-4
+
+
+@needs_devices
+@pytest.mark.slow
+def test_distributed_rfft_stream_model4():
+    # 4-way transform sharding needs both half-size factors divisible by
+    # 4 into even tile counts -> n = 2^21 (1024 x 1024 halves)
+    mesh = make_mesh((2, 4), axis_names=('data', 'model'))
+    n = 2**21
+    rng = np.random.default_rng(10)
+    x = rng.standard_normal(n).astype(np.float32)
+    got = np.asarray(distributed_rfft_stream(jax.numpy.asarray(x), mesh))
+    ref = np.fft.rfft(x)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+    back = np.asarray(distributed_irfft_stream(
+        jax.numpy.asarray(got.astype(np.complex64)), mesh, axis='model'))
+    assert np.abs(back - x).max() < 1e-4
 
 
 @needs_devices
