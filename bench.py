@@ -237,9 +237,12 @@ def chain_main() -> None:
             v = rt_step(v)
         return v
 
-    t_pair = marginal(rt_chain, x) / K
-    print(json.dumps({'t_pair': t_pair}), flush=True)
-    ms(f'rt pair {t_pair * 1e3:.2f} ms')
+    try:
+        t_pair = marginal(rt_chain, x) / K
+        print(json.dumps({'t_pair': t_pair}), flush=True)
+        ms(f'rt pair {t_pair * 1e3:.2f} ms')
+    except Exception as e:  # noqa: BLE001 — the fma row must still land
+        ms(f'rt chain failed: {type(e).__name__}: {str(e)[:160]}')
 
     ne = 2**26
     ka, kb = jax.random.split(jax.random.PRNGKey(1))
@@ -253,9 +256,25 @@ def chain_main() -> None:
             v = ops_kernels.add(v, w, np.float32)
         return v, w
 
-    t_fma = marginal(fma_chain, (a, b)) / K
-    print(json.dumps({'t_fma': t_fma}), flush=True)
-    ms(f'fma {t_fma * 1e3:.2f} ms')
+    try:
+        t_fma = marginal(fma_chain, (a, b)) / K
+        print(json.dumps({'t_fma': t_fma}), flush=True)
+        ms(f'fma {t_fma * 1e3:.2f} ms')
+    except Exception as e:  # noqa: BLE001
+        ms(f'fma chain failed: {type(e).__name__}: {str(e)[:160]}')
+
+    @jax.jit
+    def sin_chain(v):
+        for _ in range(K):
+            v = ops_kernels.sin(v)
+        return v
+
+    try:
+        t_sin = marginal(sin_chain, a) / K
+        print(json.dumps({'t_sin': t_sin}), flush=True)
+        ms(f'sin {t_sin * 1e3:.2f} ms')
+    except Exception as e:  # noqa: BLE001
+        ms(f'sin chain failed: {type(e).__name__}: {str(e)[:160]}')
 
 
 def main() -> None:
@@ -287,8 +306,21 @@ def main() -> None:
     print(f'# rfft 2^24 rel err vs NumPy: {rfft_err:.3e} (bound 1e-4) | '
           f'irfft roundtrip abs err: {irfft_err:.3e}', file=sys.stderr)
 
+    def section(label, fn, fallback=float('inf')):
+        """One bench row; a failure (compile OOM, transient tunnel error)
+        records inf and moves on instead of killing the whole record —
+        the round-4 driver run died at the sin compile and lost every
+        number after the accuracy phase."""
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001
+            print(f'# section {label} failed: {type(e).__name__}: '
+                  f'{str(e)[:200]}', file=sys.stderr)
+            return fallback
+
     # ---- rfft/irfft roundtrip (public API; 2 transforms per op) ----------
-    t_pair = bench_eager(lambda v: dsc.irfft(dsc.rfft(v)), x)
+    t_pair = section(
+        'rfft', lambda: bench_eager(lambda v: dsc.irfft(dsc.rfft(v)), x))
     t_rfft = t_pair / 2  # rfft and irfft are flop/byte-symmetric here
     flops_r = 2.5 * n * logn
     gflops_rfft = flops_r / t_rfft / 1e9
@@ -298,8 +330,11 @@ def main() -> None:
     # tensor, so the fft/ifft chain below stays on the planar fast path
     # (a hermitian-full rfft result has physical_ne != ne and would
     # materialize dense complex at the boundary instead)
-    xc = dsc.fft(x)
-    t_fft = bench_eager(lambda z: dsc.ifft(dsc.fft(z)), xc) / 2
+    def fft_row():
+        xc = dsc.fft(x)
+        return bench_eager(lambda z: dsc.ifft(dsc.fft(z)), xc) / 2
+
+    t_fft = section('cfft', fft_row)
     gflops_fft = 5.0 * n * logn / t_fft / 1e9
 
     # ---- elementwise bandwidth (public API, streaming map kernel) --------
@@ -307,10 +342,10 @@ def main() -> None:
     a = dsc.from_numpy(rng.standard_normal(ne).astype(np.float32))
     b = dsc.from_numpy(rng.standard_normal(ne).astype(np.float32))
 
-    t_fma = bench_eager(lambda v: dsc.add(v, b), a)
+    t_fma = section('fma', lambda: bench_eager(lambda v: dsc.add(v, b), a))
     gbs_fma = 3 * ne * 4 / t_fma / 1e9  # 2 reads + 1 write
 
-    t_sin = bench_eager(lambda v: dsc.sin(v), a)
+    t_sin = section('sin', lambda: bench_eager(lambda v: dsc.sin(v), a))
     gbs_sin = 2 * ne * 4 / t_sin / 1e9
 
     # ---- NumPy baseline on this host -------------------------------------
@@ -364,6 +399,9 @@ def main() -> None:
             if 't_fma' in vals:
                 t_fma = vals['t_fma']
                 gbs_fma = 3 * ne * 4 / t_fma / 1e9
+            if 't_sin' in vals:
+                t_sin = vals['t_sin']
+                gbs_sin = 2 * ne * 4 / t_sin / 1e9
             print(f'# chain upgrade: applied ({"+".join(sorted(vals))} = '
                   'jit-chain device time)', file=sys.stderr)
         else:

@@ -25,11 +25,10 @@ GB = 3 * NE * 4 / 1e9
 
 CONFIGS = [  # (DEPTH, CHUNK_ROWS)
     (8, 4096),   # round-4 default
-    (4, 4096),
-    (8, 2048),
-    (5, 8192),   # 4 MiB tiles
+    (6, 8192),
     (3, 8192),
-    (2, 16384),  # 8 MiB tiles
+    (2, 16384),  # 8 MiB tiles (morning winner)
+    (3, 16384),  # current computed default
 ]
 
 

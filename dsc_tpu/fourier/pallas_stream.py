@@ -82,11 +82,15 @@ def factors(n: int) -> Tuple[int, int]:
     return n1, n // n1
 
 # DFT stage-table mode for the streaming kernels (see _gen_dft_tables).
-# 'bf16' (stacked-real) measured FASTER than 'g3' on-chip (2.49 vs 4.82
-# ms/pair at 2^24, same-process round-robin): g3's (r, r) = (64, 64)
-# matrices fill only half the 128-wide MXU, so its 25% FLOP saving
-# inverts into a ~2x time loss. g3 stays available for experiments.
-DFT_MODE = os.environ.get('DSC_FFT_DFT_MODE', 'bf16')
+# 'pair' (round 5) regroups the bf16x3 product into two dots with the
+# k=256 accumulation inside the MXU: same-process round-robin on the
+# 2^24 rt chain measured 1.72 ms/pair median vs 1.97 for 'bf16' (~13%).
+# 'bf16' context (round 3): beats 'g3' 2.49 vs 4.82 ms/pair — g3's
+# (r, r) = (64, 64) matrices fill only half the 128-wide MXU, so its
+# 25% FLOP saving inverts into a ~2x time loss. All modes stay
+# selectable for experiments ('fuse3' — one k=384 dot — loses ~8% to
+# 'pair': duplicating the mh block costs more than the saved add).
+DFT_MODE = os.environ.get('DSC_FFT_DFT_MODE', 'pair')
 
 
 def _group(batch: int, nf: int) -> int:
@@ -133,6 +137,12 @@ def _gen_dft_tables(n, r1, r2, sign, mode):
              stage (6 MXU passes, ~1e-7; base kernels)
     'bf16' — (hi, lo): stacked-real split-bf16, 3 passes per stacked
              matmul = 12 per complex stage (~1e-5)
+    'pair' — ((hi, lo),): same bf16x3 product as 'bf16' but grouped as
+             TWO dots — Fh@mh, then [Fl|Fh]@[mh;ml] with the k=256
+             accumulation INSIDE the MXU — one VPU output add instead
+             of two, identical numerics (same three partial products)
+    'fuse3' — ((hi,), (lo,)): ONE dot [Fh|Fl|Fh]@[mh;mh;ml] (k=384) —
+             zero VPU output adds, all accumulation in the MXU
     'g3'   — ((Frh,Frl), (Fih,Fil), (Fsh,Fsl)) with Fs = Fr + Fi:
              Gauss 3-mult complex product — re = m1 - m2,
              im = m3 - m1 - m2 with m1 = Fr@xr, m2 = Fi@xi,
@@ -153,6 +163,11 @@ def _gen_dft_tables(n, r1, r2, sign, mode):
         f = jnp.concatenate([top, bot], axis=0)
         if mode == 'bf16':
             return _split_bf16(f)
+        if mode == 'pair':
+            return (_split_bf16(f),)
+        if mode == 'fuse3':
+            fh, fl = _split_bf16(f)
+            return ((fh,), (fl,))
         return (f,)
 
     f1 = stage(r1)
@@ -201,7 +216,14 @@ def _mm_stage(tab, xr, xi, real_out=False, split=None):
             return m1 - m2, None
         m3 = _mmr(fs, xr + xi)
         return m1 - m2, m3 - m1 - m2
-    # stacked forms: (hi, lo) = 'bf16', (f,) = 'f32'
+    # stacked forms: (hi, lo) = 'bf16', ((hi, lo),) = 'pair',
+    # ((hi,), (lo,)) = 'fuse3', (f,) = 'f32'
+    pair = len(tab) == 1 and isinstance(tab[0], tuple)
+    fuse3 = len(tab) == 2 and isinstance(tab[0], tuple)
+    if pair:
+        tab = tab[0]
+    elif fuse3:
+        tab = (tab[0][0], tab[1][0])
     r = xr.shape[0]
     sp = r if split is None else split
     if xi is None:
@@ -213,7 +235,24 @@ def _mm_stage(tab, xr, xi, real_out=False, split=None):
     if real_out:
         # only the top (re) output rows are wanted: halve the matmul
         mats = tuple(f[:sp] for f in mats)
-    if len(mats) == 2:
+    if pair:
+        fh, fl = mats
+        dot = _dot()
+        mh, ml = _split_bf16(m)
+        # same three bf16 partial products as 'bf16', regrouped so the
+        # k=256 dot accumulates two of them inside the MXU
+        a2 = dot(fh, mh) + dot(
+            jnp.concatenate([fl, fh], axis=1),
+            jnp.concatenate([mh, ml], axis=0),
+        )
+    elif fuse3:
+        fh, fl = mats
+        mh, ml = _split_bf16(m)
+        a2 = _dot()(
+            jnp.concatenate([fh, fl, fh], axis=1),
+            jnp.concatenate([mh, mh, ml], axis=0),
+        )
+    elif len(mats) == 2:
         fh, fl = mats
         dot = _dot()
         mh, ml = _split_bf16(m)
@@ -245,10 +284,12 @@ def _dft_slab(sr, si, n, r1, r2, mats1, mats2, tr, ti, real_output=False,
             mats2 = tuple((h[:ra], lo[:ra]) for (h, lo) in mats2)
         else:  # stacked: slice BOTH the re rows [0:ra) and the im rows
             # [r2:r2+ra) of the (2r2, 2r2) stacked-real matrices
-            mats2 = tuple(
-                jnp.concatenate([f[:ra], f[r2:r2 + ra]], axis=0)
-                for f in mats2
-            )
+            def _rows(f):
+                if isinstance(f, tuple):  # 'pair' / 'fuse3' nesting
+                    return tuple(_rows(e) for e in f)
+                return jnp.concatenate([f[:ra], f[r2:r2 + ra]], axis=0)
+
+            mats2 = tuple(_rows(f) for f in mats2)
             split2 = ra
         n_out = out_rows
     mr = sr.reshape(r1, r2 * lanes)

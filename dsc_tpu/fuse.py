@@ -141,17 +141,32 @@ _SLOT_TENSOR = 't'
 _SLOT_STATIC = 's'
 
 
-def _leaf_shardings_of(spec: Tuple, pspec, mesh: Mesh) -> List:
-    """Per-leaf NamedShardings for one argument Tensor whose layout spec is
+def _leaf_shardings_of(spec: Tuple, pspec, mesh: Mesh, leaves) -> List:
+    """Per-leaf placement for one argument Tensor whose layout spec is
     ``spec`` and whose user-requested logical PartitionSpec is ``pspec``.
+    Returns one entry per leaf: a NamedSharding to ``device_put`` to, or
+    None meaning LEAVE THE LEAF WHERE IT IS.
 
     Dense tensors have one leaf of the logical shape; plain planar complex
     tensors have two leaves each of the logical shape, so the same
     PartitionSpec applies to both planes. Hermitian-half / fourstep layouts
     store planes whose shape differs from the logical one — a logical spec
     cannot be mapped onto them, so sharded complex arguments must enter in
-    the plain planar layout (any freshly uploaded complex tensor is)."""
+    the plain planar layout (any freshly uploaded complex tensor is).
+
+    When no explicit spec was given and every leaf is ALREADY placed with
+    a NamedSharding on this mesh (e.g. the sharded output of a previous
+    compiled call), the placement is kept — chained mesh pipelines stay
+    device-resident with zero host round-trips instead of being gathered
+    back to replicated between calls (tests/test_compile.py)."""
+    n_leaves = _leaf_count(spec)
     if pspec is None:
+        if all(
+            isinstance(getattr(l, 'sharding', None), NamedSharding)
+            and l.sharding.mesh == mesh
+            for l in leaves
+        ):
+            return [None] * n_leaves
         pspec = PartitionSpec()
     s = NamedSharding(mesh, pspec)
     if spec[0] == 'd':
@@ -222,6 +237,7 @@ class _Compiled:
         slots: List[Tuple] = []  # (kind, name_or_None, spec_or_value)
         leaves: List = []
         shardings: List = []  # per-leaf NamedSharding when mesh is set
+        tensor_slots: List = []  # (tensor, leaf_start, n_leaves)
         if self._in_specs is not None and len(self._in_specs) > len(args):
             raise RuntimeError(
                 f'dsc.compile in_specs has {len(self._in_specs)} entries '
@@ -235,13 +251,16 @@ class _Compiled:
             if isinstance(a, Tensor):
                 spec, ls = _spec_of(a)
                 slots.append((_SLOT_TENSOR, name, spec))
+                tensor_slots.append((a, len(leaves), len(ls)))
                 leaves.extend(ls)
                 if self._mesh is not None:
                     ps = None
                     if (self._in_specs is not None and name is None
                             and pos < len(self._in_specs)):
                         ps = self._in_specs[pos]
-                    shardings.extend(_leaf_shardings_of(spec, ps, self._mesh))
+                    shardings.extend(
+                        _leaf_shardings_of(spec, ps, self._mesh, ls)
+                    )
             elif isinstance(a, (bool, int, float, complex, str, type(None))):
                 slots.append((_SLOT_STATIC, name, a))
             else:
@@ -250,7 +269,24 @@ class _Compiled:
                     f'or Python scalars, got {type(a).__name__}'
                 )
         if self._mesh is not None:
-            leaves = [jax.device_put(l, s) for l, s in zip(leaves, shardings)]
+            placed = [
+                l if s is None else jax.device_put(l, s)
+                for l, s in zip(leaves, shardings)
+            ]
+            # sticky placement: write the placed leaves back into the
+            # argument Tensors, so a replicated weight/filter tensor
+            # uploads to the mesh ONCE and later calls see it already
+            # resident (values are identical — only placement changes)
+            for t, i0, nl in tensor_slots:
+                if any(placed[i] is not leaves[i] for i in range(i0, i0 + nl)):
+                    pp = t._planar
+                    if pp is None:
+                        t._buf.arr = placed[i0]
+                    else:
+                        pp.re, pp.im = placed[i0], placed[i0 + 1]
+                        pp._dense = None
+                    t._buf.version += 1  # derived caches refresh lazily
+            leaves = placed
         key = tuple(slots)
         prog = self._programs.get(key)
         if prog is None:
@@ -342,9 +378,14 @@ def compile(fn=None, *, mesh=None, in_specs=None,  # noqa: A001 — public name
                            out_specs=P('data'))        # replicate flt
 
     ``in_specs`` aligns with the positional arguments (None/P() =
-    replicated; keyword tensors are always replicated); input leaves are
-    device_put to the requested layout on every call, a no-op when
-    already placed. ``out_specs`` is one PartitionSpec for all outputs or
+    replicated); input leaves are device_put to the requested layout on
+    every call, a no-op when already placed. An argument with NO explicit
+    spec that already carries a ``NamedSharding`` on this mesh — e.g. the
+    sharded output of a previous compiled call — is consumed IN PLACE, so
+    chained mesh pipelines stay device-resident (zero gathers / host
+    round-trips between steps); otherwise unspecified arguments (and all
+    keyword tensors) are replicated. ``out_specs`` is one PartitionSpec
+    for all outputs or
     a sequence matching the returned tensors; omitted means GSPMD
     propagation decides. Mesh traces route through the pure-XLA engines
     (Pallas custom calls cannot be partitioned — flags.py), so

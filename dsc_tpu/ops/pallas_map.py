@@ -356,6 +356,39 @@ def eligible(shapes, dtypes) -> bool:
     return not _interpret()
 
 
+def _count_eqns(jaxpr) -> int:
+    """Equations in a jaxpr, descending into call/closed-call params."""
+    n = 0
+    for eqn in jaxpr.eqns:
+        sub = 0
+        for v in eqn.params.values():
+            if isinstance(v, jax.extend.core.ClosedJaxpr):
+                sub += _count_eqns(v.jaxpr)
+            elif isinstance(v, jax.extend.core.Jaxpr):
+                sub += _count_eqns(v)
+        n += max(1, sub)
+    return n
+
+
+def _eqn_count(kfn, kinds, brow_tiles) -> int:
+    """Shape-independent op-complexity proxy: equation count of the tile
+    fn's jaxpr (small stand-in tiles, one abstract trace per cached
+    program). Used to reserve scoped-vmem stack for the op's live VPU
+    temporaries — Mosaic reuses buffers, so this overestimates, which
+    only shrinks tiles (cheap) rather than risking a compile-time OOM."""
+    del brow_tiles  # replication happens inside the kernel, not in kfn
+    try:
+        avals = (
+            [jax.ShapeDtypeStruct((8, LANES), np.float32)
+             for k in kinds if k != 'scalar']
+            + [jax.ShapeDtypeStruct((), np.float32)
+               for k in kinds if k == 'scalar']
+        )
+        return _count_eqns(jax.make_jaxpr(kfn)(*avals).jaxpr)
+    except Exception:
+        return 8  # conservative middle ground
+
+
 def stream_map(fn: Callable, *arrays: jax.Array, out_dtype=None) -> jax.Array:
     """Elementwise ``fn`` over arrays (full-shape or 1-element operands)
     via the streaming kernel. Caller must have checked ``eligible()``."""
@@ -394,28 +427,31 @@ def stream_map_multi(
         return fn(*[ops[inv[i]] for i in range(len(arrays))])
 
     total_rows = ne // LANES  # multiple of 8 (eligible: ne % 1024 == 0)
-    rows = min(CHUNK_ROWS, total_rows)
     n_out = len(out_dtypes)
     n_buf_ops = len(streamed) + n_out
-    # shrink tiles for wide fan-in (dsc.map chains) so 2 buffer sets plus
-    # the 6-tile temp reserve fit the scoped-vmem limit at any operand
-    # count
-    while rows > 512 and (2 * n_buf_ops + 6) * rows * LANES * 4 > 96 * 2**20:
+
+    # Mosaic allocates the op's VPU temporaries on the SAME scoped-vmem
+    # stack as our static buffer sets, and a fixed reserve cannot cover
+    # every op (round-5 driver run: the 17-op Cody-Waite sin at
+    # 16384-row tiles demanded 127.6M against the old 96M limit and
+    # killed the WHOLE bench at compile time, while add fit easily).
+    # Estimate the op's live-temp tile count from its jaxpr equation
+    # count (shape-independent, one abstract trace per cached program) —
+    # a deliberate overestimate, since Mosaic reuses buffers: shrinking
+    # tiles for a transcendental chain costs little (it is VPU-bound),
+    # while an OOM at compile time costs the op entirely.
+    temp_tiles = max(4, _eqn_count(kfn, kinds, brow_tiles) + 2)
+    SAFE = 112 * 2**20  # 16M headroom under the 128M physical VMEM
+    rows = min(CHUNK_ROWS, total_rows)
+    while rows > 512 and (2 * n_buf_ops + temp_tiles) * rows * LANES * 4 > SAFE:
         rows //= 2
     if brow_idx:
         # row-aligned tiles so the replicated row lines up
         rows -= rows % brow_tiles
     rem_rows = total_rows % rows
 
-    # clamp pipeline depth against the 96-MiB scoped-vmem limit: Mosaic
-    # allocates the op's VPU temporaries on the SAME stack as our static
-    # buffer sets, so reserve ~6 tile-sized temps for the fn (the sin/cos
-    # polynomial chains keep ~5 live at 16384-row tiles; an 8-MiB-tile
-    # sin at the old 64-MiB budget OOMed the scoped stack by 7.8 MiB —
-    # round-5 probe_sin5). A wide dsc.map chain (many streamed inputs +
-    # multi-output) additionally scales the buffer term linearly.
     chunk_bytes = rows * LANES * 4
-    budget = 96 * 2**20 - 6 * chunk_bytes
+    budget = SAFE - temp_tiles * chunk_bytes
     depth = max(2, min(DEPTH, budget // max(chunk_bytes * n_buf_ops, 1)))
 
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
@@ -434,7 +470,7 @@ def stream_map_multi(
         ),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=96 * 2**20,
+            vmem_limit_bytes=128 * 2**20,
         ),
         interpret=_interpret(),
     )(*streamed, *brows, *scalars)

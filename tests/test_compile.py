@@ -384,3 +384,51 @@ def test_compile_mesh_hermitian_arg_rejected():
     f = dsc.compile(lambda z: z, mesh=mesh, in_specs=(P('data'),))
     with pytest.raises(RuntimeError, match='hermitian'):
         f(h)
+
+
+@needs_devices
+def test_compile_mesh_chained_sharded_resident():
+    # VERDICT r4 #6: the sharded output of one compiled call feeds the
+    # next call directly — no gather to replicated, no host round-trip.
+    # A pre-sharded argument with no explicit in_spec keeps its placement.
+    from jax.sharding import NamedSharding
+
+    mesh = dsc.make_mesh((8, 1))
+
+    def step(x, g):
+        return dsc.mul(dsc.add(x, x), g)
+
+    f = dsc.compile(step, mesh=mesh, in_specs=(P('data'), P()),
+                    out_specs=P('data'))
+    xn = np.random.randn(16, 256).astype(np.float32)
+    gn = np.random.randn(1).astype(np.float32)
+    gt = dsc.from_numpy(gn)
+    y = f(dsc.from_numpy(xn), gt)  # compiles; sticky-places gt replicated
+    arr1 = y._buf.arr
+    assert isinstance(arr1.sharding, NamedSharding)
+    assert arr1.sharding.mesh == mesh
+    assert isinstance(gt._buf.arr.sharding, NamedSharding)  # sticky
+
+    # steady state: sharded y feeds back in, gt is already resident —
+    # transfer_guard proves the chained calls move NOTHING host<->device
+    with jax.transfer_guard('disallow'):
+        for _ in range(3):
+            y = f(y, gt)
+    arr = y._buf.arr
+    assert isinstance(arr.sharding, NamedSharding)
+    assert len(arr.sharding.device_set) == 8
+    want = xn
+    for _ in range(4):
+        want = (want + want) * gn[0]
+    assert all_close(y.numpy(), want, atol=1e-4)
+
+    # a pre-sharded arg with NO explicit spec keeps its placement (no
+    # gather to replicated): second wrapper, no in_specs
+    f2 = dsc.compile(lambda x: dsc.add(x, 1.0), mesh=mesh)
+    z = f2(y)  # compiles for the sharded-input layout
+    zarr = z._buf.arr
+    assert isinstance(zarr.sharding, NamedSharding)
+    assert not zarr.sharding.is_fully_replicated
+    with jax.transfer_guard('disallow'):
+        z = f2(z)
+    assert all_close(z.numpy(), want + 2.0, atol=1e-4)
