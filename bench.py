@@ -99,7 +99,8 @@ def _drain(t) -> None:
     np.asarray(x)
 
 
-def bench_eager(step, state, k_base: int = K_BASE) -> float:
+def bench_eager(step, state, k_base: int = K_BASE,
+                t_floor: float = 0.0) -> float:
     """Marginal per-op time of the eager public-API op ``state = step(state)``
     via pipelined-dispatch differencing: difference of MEDIANS of
     interleaved t(k)/t(2k) samples (robust to tunnel latency spikes that
@@ -107,11 +108,15 @@ def bench_eager(step, state, k_base: int = K_BASE) -> float:
     feedback chain rules out any same-arguments execution caching in the
     runtime. Runs 3 interleaved attempt rounds and keeps the MINIMUM
     positive marginal — the reference's own min-of-5 drift defense
-    (benchmarks/python/utils.py:11-12); PERF.md documents ±30-50%
-    cross-run drift on this tunnel, which single-round medians lose to
-    (round-4 fma: 712.8 driver-run vs 858 tuned). As the driver-run
-    headline must always print, the last resort is the positive floor of
-    the observed per-op upper bound t(2k)/(2k) rather than an error."""
+    (benchmarks/python/utils.py:11-12).
+
+    ``t_floor`` is the op's PHYSICAL floor (e.g. HBM traffic / 819 GB/s
+    peak): a marginal below it is an estimator artifact, not a
+    measurement — cheap ops pipeline entirely inside the tunnel's ~30 ms
+    fixed latency window, and this run's differenced marginal can then
+    collapse to ~0 (a round-5 driver run printed sin at 20721 GB/s).
+    Sub-floor marginals are discarded; if every attempt is sub-floor the
+    honest fallback is the t(2k)/(2k) upper bound (real wall time)."""
     _drain(step(state))  # warm + establish the d2h sync path
     state = step(state)
     _drain(state)
@@ -135,11 +140,11 @@ def bench_eager(step, state, k_base: int = K_BASE) -> float:
             t2s.append(t2)
         t2_med = sorted(t2s)[len(t2s) // 2]
         d = (t2_med - sorted(t1s)[len(t1s) // 2]) / k_base
-        if d > 0:
+        if d >= t_floor:
             best = d if best is None else min(best, d)
     if best is not None:
         return best
-    print('# bench_eager: non-positive marginal after 3 attempts; '
+    print('# bench_eager: no physically-possible marginal in 3 attempts; '
           'reporting t(2k)/2k upper bound', file=sys.stderr)
     return t2_med / (2 * k_base)
 
@@ -244,6 +249,25 @@ def chain_main() -> None:
     except Exception as e:  # noqa: BLE001 — the fma row must still land
         ms(f'rt chain failed: {type(e).__name__}: {str(e)[:160]}')
 
+    def cpair_step(c):
+        vr, vi = c
+        zr, zi = fft_core.fft_stream_planar(vr, vi, n1, n2, inverse=False)
+        return fft_core.fft_stream_planar(zr, zi, n1, n2, inverse=True)
+
+    @jax.jit
+    def cpair_chain(c):
+        for _ in range(K):
+            c = cpair_step(c)
+        return c
+
+    try:
+        xi = jax.random.normal(jax.random.PRNGKey(7), (n,), jnp.float32)
+        t_cpair = marginal(cpair_chain, (x, xi)) / K
+        print(json.dumps({'t_cpair': t_cpair}), flush=True)
+        ms(f'cfft pair {t_cpair * 1e3:.2f} ms')
+    except Exception as e:  # noqa: BLE001
+        ms(f'cfft chain failed: {type(e).__name__}: {str(e)[:160]}')
+
     ne = 2**26
     ka, kb = jax.random.split(jax.random.PRNGKey(1))
     a = jax.random.normal(ka, (ne,), jnp.float32)
@@ -280,6 +304,29 @@ def chain_main() -> None:
 def main() -> None:
     wait_for_backend()  # tunnel outages must not kill the round's record
     t_start = time.time()
+
+    # Mid-run wedge watchdog: the remote execute path can hang FOREVER
+    # (observed round 5: a fully-warmed first rfft never returned, and a
+    # 1-element eager add on a fresh process wedged too). A hung bench
+    # records nothing; this thread guarantees the one JSON line exists
+    # and frees the driver's slot. It fires only if main() has not
+    # printed by then.
+    import threading
+
+    done = threading.Event()
+
+    def _watchdog():
+        if not done.wait(BUDGET_S + 300):
+            print('# watchdog: bench wedged past budget; recording '
+                  'tunnel-outage row', file=sys.stderr, flush=True)
+            print(json.dumps({
+                'metric': 'rfft_2^24_f32', 'value': 0, 'unit': 'GFLOP/s',
+                'vs_baseline': 0, 'error': 'watchdog: device wedge/outage',
+            }), flush=True)
+            os._exit(1)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
 
     import dsc_tpu as dsc
@@ -306,62 +353,25 @@ def main() -> None:
     print(f'# rfft 2^24 rel err vs NumPy: {rfft_err:.3e} (bound 1e-4) | '
           f'irfft roundtrip abs err: {irfft_err:.3e}', file=sys.stderr)
 
-    def section(label, fn, fallback=float('inf')):
-        """One bench row; a failure (compile OOM, transient tunnel error)
-        records inf and moves on instead of killing the whole record —
-        the round-4 driver run died at the sin compile and lost every
-        number after the accuracy phase."""
-        try:
-            return fn()
-        except Exception as e:  # noqa: BLE001
-            print(f'# section {label} failed: {type(e).__name__}: '
-                  f'{str(e)[:200]}', file=sys.stderr)
-            return fallback
-
-    # ---- rfft/irfft roundtrip (public API; 2 transforms per op) ----------
-    t_pair = section(
-        'rfft', lambda: bench_eager(lambda v: dsc.irfft(dsc.rfft(v)), x))
-    t_rfft = t_pair / 2  # rfft and irfft are flop/byte-symmetric here
     flops_r = 2.5 * n * logn
-    gflops_rfft = flops_r / t_rfft / 1e9
-
-    # ---- complex fft 2^24 (public API, planar tensors) -------------------
-    # dsc.fft of the real input yields a FULL-logical-length planar C32
-    # tensor, so the fft/ifft chain below stays on the planar fast path
-    # (a hermitian-full rfft result has physical_ne != ne and would
-    # materialize dense complex at the boundary instead)
-    def fft_row():
-        xc = dsc.fft(x)
-        return bench_eager(lambda z: dsc.ifft(dsc.fft(z)), xc) / 2
-
-    t_fft = section('cfft', fft_row)
-    gflops_fft = 5.0 * n * logn / t_fft / 1e9
-
-    # ---- elementwise bandwidth (public API, streaming map kernel) --------
     ne = 2**26  # 256 MiB f32
-    a = dsc.from_numpy(rng.standard_normal(ne).astype(np.float32))
-    b = dsc.from_numpy(rng.standard_normal(ne).astype(np.float32))
-
-    t_fma = section('fma', lambda: bench_eager(lambda v: dsc.add(v, b), a))
-    gbs_fma = 3 * ne * 4 / t_fma / 1e9  # 2 reads + 1 write
-
-    t_sin = section('sin', lambda: bench_eager(lambda v: dsc.sin(v), a))
-    gbs_sin = 2 * ne * 4 / t_sin / 1e9
 
     # ---- NumPy baseline on this host -------------------------------------
     t_np = bench_host(lambda: np.fft.rfft(x_np))
     gflops_np = flops_r / t_np / 1e9
 
-    # ---- optional chain-measurement upgrade (bounded by the budget) -------
-    # The subprocess streams one flushed JSON line per milestone row into
-    # a temp file; on a timeout kill the parent applies whatever rows
-    # landed (round 4 lost the whole upgrade to one TimeoutExpired).
+    # ---- PRIMARY instrument: jit-chain device times (subprocess) ---------
+    # The chain marginal is the only estimator that has stayed inside
+    # physical bounds on this tunnel (PERF.md "the tunnel lies twice");
+    # the eager rows below are a fallback for rows the chain did not
+    # land. The subprocess (wedge isolation) streams one flushed JSON
+    # line per row; a timeout kill keeps the rows already landed.
+    vals = {}
     remaining = BUDGET_S - (time.time() - t_start)
-    if remaining > 120 and not os.environ.get('DSC_BENCH_NO_CHAIN'):
+    if remaining > 100 and not os.environ.get('DSC_BENCH_NO_CHAIN'):
         import tempfile
 
         proc = None
-        vals = {}
         with tempfile.TemporaryFile('w+') as chain_out:
             try:
                 proc = subprocess.Popen(
@@ -369,7 +379,7 @@ def main() -> None:
                     stdout=chain_out, stderr=sys.stderr,
                     start_new_session=True, text=True,
                 )
-                proc.wait(timeout=max(remaining - 45, 90))
+                proc.wait(timeout=max(remaining - 90, 90))
             except Exception as e:  # noqa: BLE001 — timeout/wedge
                 if proc is not None:
                     try:
@@ -385,28 +395,68 @@ def main() -> None:
                 except ValueError:
                     pass
         if vals:
-            # one consistent methodology for the headline: when a chain
-            # row lands, its jitted device time IS the number (the eager
-            # figure additionally pays ~0.4 ms/op of remote-tunnel client
-            # dispatch a local caller would not); both figures go to
-            # stderr so neither measurement is hidden
-            print(f'# eager marginals (tunnel): rfft '
-                  f'{t_rfft*1e3:.2f} ms, fma {t_fma*1e3:.2f} ms',
-                  file=sys.stderr)
-            if 't_pair' in vals:
-                t_rfft = vals['t_pair'] / 2
-                gflops_rfft = flops_r / t_rfft / 1e9
-            if 't_fma' in vals:
-                t_fma = vals['t_fma']
-                gbs_fma = 3 * ne * 4 / t_fma / 1e9
-            if 't_sin' in vals:
-                t_sin = vals['t_sin']
-                gbs_sin = 2 * ne * 4 / t_sin / 1e9
             print(f'# chain upgrade: applied ({"+".join(sorted(vals))} = '
                   'jit-chain device time)', file=sys.stderr)
         else:
             print('# chain upgrade skipped: no milestone rows landed',
                   file=sys.stderr)
+
+    def section(label, fn, fallback=float('inf')):
+        """One eager fallback row; a failure (compile OOM, transient
+        tunnel error) records inf and moves on instead of killing the
+        whole record — a round-4 driver run died at the sin compile and
+        lost every number after the accuracy phase."""
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001
+            print(f'# section {label} failed: {type(e).__name__}: '
+                  f'{str(e)[:200]}', file=sys.stderr)
+            return fallback
+
+    # physical floors at the 819 GB/s v5e HBM peak (see bench_eager)
+    mib = float(2**20)
+    floor_pair = 8 * 64 * mib / 819e9   # 4 streamed phases x in+out
+    floor_cpair = 8 * 128 * mib / 819e9  # c64 slabs are twice as wide
+    floor_fma = 3 * ne * 4 / 819e9
+    floor_sin = 2 * ne * 4 / 819e9
+
+    # ---- rfft/irfft roundtrip (public API; 2 transforms per op) ----------
+    if 't_pair' in vals:
+        t_pair = vals['t_pair']
+    else:
+        t_pair = section('rfft', lambda: bench_eager(
+            lambda v: dsc.irfft(dsc.rfft(v)), x, t_floor=floor_pair))
+    t_rfft = t_pair / 2  # rfft and irfft are flop/byte-symmetric here
+    gflops_rfft = flops_r / t_rfft / 1e9
+
+    # ---- complex fft 2^24 (public API, planar tensors) -------------------
+    # dsc.fft of the real input yields a FULL-logical-length planar C32
+    # tensor, so the fft/ifft chain below stays on the planar fast path
+    # (a hermitian-full rfft result has physical_ne != ne and would
+    # materialize dense complex at the boundary instead)
+    def fft_row():
+        xc = dsc.fft(x)
+        return bench_eager(lambda z: dsc.ifft(dsc.fft(z)), xc,
+                           t_floor=floor_cpair) / 2
+
+    if 't_cpair' in vals:
+        t_fft = vals['t_cpair'] / 2
+    else:
+        t_fft = section('cfft', fft_row)
+    gflops_fft = 5.0 * n * logn / t_fft / 1e9
+
+    # ---- elementwise bandwidth (public API, streaming map kernel) --------
+    if 't_fma' in vals and 't_sin' in vals:
+        t_fma, t_sin = vals['t_fma'], vals['t_sin']
+    else:
+        a = dsc.from_numpy(rng.standard_normal(ne).astype(np.float32))
+        b = dsc.from_numpy(rng.standard_normal(ne).astype(np.float32))
+        t_fma = vals.get('t_fma') or section('fma', lambda: bench_eager(
+            lambda v: dsc.add(v, b), a, t_floor=floor_fma))
+        t_sin = vals.get('t_sin') or section('sin', lambda: bench_eager(
+            lambda v: dsc.sin(v), a, t_floor=floor_sin))
+    gbs_fma = 3 * ne * 4 / t_fma / 1e9  # 2 reads + 1 write
+    gbs_sin = 2 * ne * 4 / t_sin / 1e9
 
     print(
         f'# rfft/irfft 2^24: {t_rfft*1e3:8.2f} ms/transform '
@@ -428,6 +478,7 @@ def main() -> None:
             }
         )
     )
+    done.set()
 
 
 if __name__ == '__main__':

@@ -185,6 +185,24 @@ def main() -> int:
                 5e-4)
     del s26, b26, x26
 
+    # 2^27: past the streaming window (n2 would exceed FACTOR_MAX), so
+    # the public rfft routes to the XLA four-step engine — the size
+    # cliff is a measured slowdown, not a failure (VERDICT r4 item 8;
+    # bound/route documented in PERF.md round-5 notes)
+    x27 = rng.standard_normal(2**27).astype(np.float32)
+    t27 = time.time()
+    s27 = dsc.rfft(dsc.from_numpy(x27))
+    v0 = s27[0]  # 1-element unwrap -> python scalar
+    v0 = v0 if isinstance(v0, complex) else complex(v0.numpy())
+    dc = abs(v0 - x27.sum()) / (abs(x27).sum() + 1)
+    ok &= check('rfft 2^27 DC term (XLA four-step route)', dc, 1e-4)
+    b27 = dsc.irfft(s27)
+    ok &= check('irfft 2^27 roundtrip', np.abs(b27.numpy() - x27).max(),
+                1e-3)
+    print(f'  # 2^27 pair wall (incl compile on first run): '
+          f'{time.time() - t27:.1f}s')
+    del s27, b27, x27
+
     # batched non-last-axis streaming (VERDICT r2 item 5)
     xax = rng.standard_normal((2**18, 8)).astype(np.float32)
     sax = dsc.rfft(dsc.from_numpy(xax), axis=0)
