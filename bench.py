@@ -175,8 +175,18 @@ def chain_main() -> None:
     host-random h2d of 2x256 MiB through the tunnel wasted a large slice
     of the budget. Each row's result prints as its own flushed JSON line
     so the parent applies whatever milestones landed before a timeout
-    kill (partial upgrades instead of all-or-nothing)."""
+    kill (partial upgrades instead of all-or-nothing).
+
+    The ACCURACY check also lives here: this subprocess must be the only
+    jax client in the bench (the terminal serializes a second client
+    behind a live or recently-killed first one — measured 250 s of init
+    stall), so everything needing the device happens in this process and
+    the parent stays host-only."""
     t_start = time.time()
+    # exit cleanly on the parent's SIGTERM so the jax client tears down
+    # (atexit runs) instead of leaving a server-side session that stalls
+    # the next client
+    signal.signal(signal.SIGTERM, lambda *_: sys.exit(0))
 
     def ms(tag: str) -> None:
         print(f'# chain: {tag} @ {time.time() - t_start:.0f}s',
@@ -192,6 +202,26 @@ def chain_main() -> None:
 
     dsc.init(int(8 * 2**30))
     K = 4  # pairs per chain program
+
+    # ---- accuracy vs np.fft at 2^24 through the PUBLIC api (compiles +
+    # warms the public programs as a side effect; errors land as a row)
+    try:
+        rng = np.random.default_rng(42)
+        acc_np = rng.standard_normal(2**24).astype(np.float32)
+        acc_t = dsc.from_numpy(acc_np)
+        t0 = time.perf_counter()
+        spec_t = dsc.rfft(acc_t)
+        spec_np = spec_t.numpy()
+        ms(f'first rfft incl compile: {time.perf_counter() - t0:.1f}s')
+        ref = np.fft.rfft(acc_np)
+        rfft_err = float(np.abs(spec_np - ref).max() / np.abs(ref).max())
+        irfft_err = float(np.abs(dsc.irfft(spec_t).numpy() - acc_np).max())
+        print(json.dumps({'rfft_err': rfft_err, 'irfft_err': irfft_err}),
+              flush=True)
+        ms(f'rfft 2^24 rel err {rfft_err:.3e} | irfft rt {irfft_err:.3e}')
+        del acc_np, acc_t, spec_t, spec_np, ref
+    except Exception as e:  # noqa: BLE001 — timing rows must still run
+        ms(f'accuracy failed: {type(e).__name__}: {str(e)[:160]}')
 
     def marginal(step, state, m=3, reps=5):
         """min-of-3-attempts differenced marginal of one jitted chain
@@ -327,48 +357,19 @@ def main() -> None:
 
     threading.Thread(target=_watchdog, daemon=True).start()
 
-    import jax
-
-    import dsc_tpu as dsc
-
-    dsc.init(int(8 * 2**30))
-    backend = jax.default_backend()
-    print(f'# backend: {backend} {jax.devices()}', file=sys.stderr)
-
-    n = 2**24
-    logn = 24
-    rng = np.random.default_rng(42)
-    x_np = rng.standard_normal(n).astype(np.float32)
-    x = dsc.from_numpy(x_np)
-
-    # ---- accuracy (also compiles + warms every public program used below)
-    t0 = time.perf_counter()
-    spec_t = dsc.rfft(x)
-    spec_np = spec_t.numpy()
-    print(f'# first rfft incl compile: {time.perf_counter()-t0:.1f}s',
-          file=sys.stderr)
-    ref = np.fft.rfft(x_np)
-    rfft_err = float(np.abs(spec_np - ref).max() / np.abs(ref).max())
-    irfft_err = float(np.abs(dsc.irfft(spec_t).numpy() - x_np).max())
-    print(f'# rfft 2^24 rel err vs NumPy: {rfft_err:.3e} (bound 1e-4) | '
-          f'irfft roundtrip abs err: {irfft_err:.3e}', file=sys.stderr)
-
-    flops_r = 2.5 * n * logn
-    ne = 2**26  # 256 MiB f32
-
-    # ---- NumPy baseline on this host -------------------------------------
-    t_np = bench_host(lambda: np.fft.rfft(x_np))
-    gflops_np = flops_r / t_np / 1e9
-
     # ---- PRIMARY instrument: jit-chain device times (subprocess) ---------
     # The chain marginal is the only estimator that has stayed inside
     # physical bounds on this tunnel (PERF.md "the tunnel lies twice");
     # the eager rows below are a fallback for rows the chain did not
     # land. The subprocess (wedge isolation) streams one flushed JSON
     # line per row; a timeout kill keeps the rows already landed.
+    #
+    # It MUST run before this process initializes its own jax client:
+    # the terminal serializes a second client behind a live first one —
+    # with the parent's client up, the same chain that finishes all four
+    # rows in 92 s standalone made zero progress in 340 s (round 5).
     vals = {}
-    remaining = BUDGET_S - (time.time() - t_start)
-    if remaining > 100 and not os.environ.get('DSC_BENCH_NO_CHAIN'):
+    if not os.environ.get('DSC_BENCH_NO_CHAIN'):
         import tempfile
 
         proc = None
@@ -379,13 +380,20 @@ def main() -> None:
                     stdout=chain_out, stderr=sys.stderr,
                     start_new_session=True, text=True,
                 )
-                proc.wait(timeout=max(remaining - 90, 90))
+                proc.wait(timeout=max(BUDGET_S - 120, 120))
             except Exception as e:  # noqa: BLE001 — timeout/wedge
                 if proc is not None:
+                    # SIGTERM first so the jax client closes its terminal
+                    # session — a SIGKILLed client lingers server-side
+                    # and serializes the NEXT client's init for minutes
                     try:
-                        os.killpg(proc.pid, signal.SIGKILL)
-                    except OSError:
-                        pass
+                        os.killpg(proc.pid, signal.SIGTERM)
+                        proc.wait(timeout=10)
+                    except Exception:  # noqa: BLE001
+                        try:
+                            os.killpg(proc.pid, signal.SIGKILL)
+                        except OSError:
+                            pass
                 print(f'# chain run interrupted: {type(e).__name__}',
                       file=sys.stderr)
             chain_out.seek(0)
@@ -400,6 +408,37 @@ def main() -> None:
         else:
             print('# chain upgrade skipped: no milestone rows landed',
                   file=sys.stderr)
+
+    n = 2**24
+    logn = 24
+    flops_r = 2.5 * n * logn
+    ne = 2**26  # 256 MiB f32
+    rng = np.random.default_rng(42)
+    x_np = rng.standard_normal(n).astype(np.float32)
+
+    if 'rfft_err' in vals:
+        print(f'# rfft 2^24 rel err vs NumPy: {vals["rfft_err"]:.3e} '
+              f'(bound 1e-4) | irfft roundtrip abs err: '
+              f'{vals["irfft_err"]:.3e}', file=sys.stderr)
+
+    # ---- NumPy baseline on this host -------------------------------------
+    t_np = bench_host(lambda: np.fft.rfft(x_np))
+    gflops_np = flops_r / t_np / 1e9
+
+    # ---- eager fallback (ONLY if chain rows are missing): this is the
+    # bench's second jax client, so it may pay the serialized-init stall
+    timing_rows = {'t_pair', 't_cpair', 't_fma', 't_sin'}
+    x = None
+    if not timing_rows.issubset(vals):
+        import jax
+
+        import dsc_tpu as dsc
+
+        dsc.init(int(8 * 2**30))
+        print(f'# backend: {jax.default_backend()} {jax.devices()}',
+              file=sys.stderr)
+        x = dsc.from_numpy(x_np)
+        _drain(dsc.rfft(x))  # warm the public programs
 
     def section(label, fn, fallback=float('inf')):
         """One eager fallback row; a failure (compile OOM, transient
