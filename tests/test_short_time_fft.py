@@ -89,19 +89,25 @@ def test_zero_padded_window_borders():
     assert ours.upper_border_begin(n) == ref.upper_border_begin(n)
 
 
+# each case costs a multi-second XLA:CPU compile; the fast CI job keeps
+# a covering subset (every fft_mode / scaling / phase_shift / mfft route
+# once) and the full suite runs the whole list
+_slow = pytest.mark.slow
 STFT_CASES = [
     dict(),
     dict(fft_mode='twosided'),
     dict(fft_mode='centered'),
     dict(fft_mode='onesided2X', scale_to='psd'),
-    dict(fft_mode='onesided2X', scale_to='magnitude'),
-    dict(scale_to='psd'),
+    pytest.param(dict(fft_mode='onesided2X', scale_to='magnitude'),
+                 marks=_slow),
+    pytest.param(dict(scale_to='psd'), marks=_slow),
     dict(phase_shift=None),
-    dict(phase_shift=5),
-    dict(phase_shift=-3),
-    dict(mfft=128),
+    pytest.param(dict(phase_shift=5), marks=_slow),
+    pytest.param(dict(phase_shift=-3), marks=_slow),
+    pytest.param(dict(mfft=128), marks=_slow),
     dict(mfft=100),              # non-pow2 -> CZT route
-    dict(mfft=77, fft_mode='twosided'),   # odd non-pow2
+    pytest.param(dict(mfft=77, fft_mode='twosided'),   # odd non-pow2
+                 marks=_slow),
 ]
 
 
@@ -113,7 +119,9 @@ def test_stft_matches_scipy(kw):
     _close(ours.stft(x), ref.stft(x.astype(np.float64)))
 
 
-@pytest.mark.parametrize('padding', ['zeros', 'edge', 'even', 'odd'])
+@pytest.mark.parametrize('padding', [
+    'zeros', pytest.param('edge', marks=_slow),
+    pytest.param('even', marks=_slow), 'odd'])
 def test_stft_padding_modes(padding):
     win = sps.windows.hamming(48, sym=True)
     ref, ours = _pair(win, 12, 1.0)
@@ -172,13 +180,13 @@ def test_spectrogram_and_cross():
 
 ISTFT_CASES = [
     dict(),
-    dict(fft_mode='twosided'),
+    pytest.param(dict(fft_mode='twosided'), marks=_slow),
     dict(fft_mode='centered'),
     dict(fft_mode='onesided2X', scale_to='psd'),
-    dict(phase_shift=None),
-    dict(phase_shift=4),
+    pytest.param(dict(phase_shift=None), marks=_slow),
+    pytest.param(dict(phase_shift=4), marks=_slow),
     dict(mfft=80),               # non-pow2 inverse via CZT
-    dict(mfft=81, fft_mode='twosided'),
+    pytest.param(dict(mfft=81, fft_mode='twosided'), marks=_slow),
 ]
 
 

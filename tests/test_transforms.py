@@ -16,6 +16,23 @@ SIZES = [16, 12, 15, 17, 1]
 NORMS = [None, 'backward', 'ortho', 'forward']
 
 
+def _cover(names, avals, bvals, fast, unpack=False):
+    """Full (a x b) cross product with only the ``fast`` pairs unmarked;
+    the rest run under -m slow. Each case costs a 2-7 s XLA:CPU compile,
+    so the fast CI job takes a covering subset (every a with one b,
+    every b with one a) and the full suite keeps the whole matrix.
+    ``fast`` pairs key on the a value itself or its index in avals;
+    ``unpack=True`` spreads tuple-valued a across multiple argnames."""
+    params = []
+    for ia, a in enumerate(avals):
+        for b in bvals:
+            marks = () if (ia, b) in fast or (a, b) in fast \
+                else (pytest.mark.slow,)
+            aa = a if unpack and isinstance(a, tuple) else (a,)
+            params.append(pytest.param(*aa, b, marks=marks))
+    return pytest.mark.parametrize(names, params)
+
+
 def _sig(n, seed=0, cplx=False):
     rng = np.random.default_rng(seed)
     x = rng.standard_normal(n)
@@ -31,8 +48,9 @@ def _close(got, want, tol=2e-4):
     assert np.abs(got - want).max() < tol * scale
 
 
-@pytest.mark.parametrize('n', SIZES)
-@pytest.mark.parametrize('norm', NORMS)
+@_cover('n,norm', SIZES, NORMS,
+        fast={(n, None) for n in SIZES}
+        | {(12, 'backward'), (12, 'ortho'), (12, 'forward')})
 def test_fft_ifft_exact(n, norm):
     x = _sig(n, cplx=True)
     _close(tf.fft(dsc.from_numpy(x), norm=norm), sft.fft(x, norm=norm))
@@ -57,8 +75,9 @@ def test_fft_axis(axis):
     _close(tf.fft(dsc.from_numpy(x), axis=axis), sft.fft(x, axis=axis))
 
 
-@pytest.mark.parametrize('n', SIZES)
-@pytest.mark.parametrize('norm', NORMS)
+@_cover('n,norm', SIZES, NORMS,
+        fast={(n, None) for n in SIZES}
+        | {(17, 'backward'), (17, 'ortho'), (17, 'forward')})
 def test_rfft_irfft(n, norm):
     x = _sig(n)
     _close(tf.rfft(dsc.from_numpy(x), norm=norm), sft.rfft(x, norm=norm))
@@ -73,8 +92,8 @@ def test_irfft_default_even():
     _close(tf.irfft(dsc.from_numpy(spec)), sft.irfft(spec))
 
 
-@pytest.mark.parametrize('n', [16, 15, 12])
-@pytest.mark.parametrize('norm', NORMS)
+@_cover('n,norm', [16, 15, 12], NORMS,
+        fast={(16, None), (15, None), (12, None), (15, 'ortho')})
 def test_hfft_ihfft(n, norm):
     m = n // 2 + 1
     spec = _sig(m, cplx=True)
@@ -92,14 +111,14 @@ def test_roundtrips():
            xr.astype(np.float64))
 
 
-@pytest.mark.parametrize('shape,axes,s', [
+@_cover('shape,axes,s,norm', [
     ((6, 10), None, None),
     ((6, 10), (0,), None),
     ((6, 10), (-2, -1), (4, 12)),
     ((3, 5, 8), (1, 2), None),
     ((3, 5, 8), None, (2, 6, 8)),
-])
-@pytest.mark.parametrize('norm', [None, 'ortho'])
+], [None, 'ortho'], fast={(0, None), (2, None), (4, None), (1, 'ortho')},
+    unpack=True)
 def test_fftn_ifftn(shape, axes, s, norm):
     x = _sig(int(np.prod(shape)), cplx=True).reshape(shape)
     _close(tf.fftn(dsc.from_numpy(x), s=s, axes=axes, norm=norm),
@@ -108,8 +127,8 @@ def test_fftn_ifftn(shape, axes, s, norm):
            sft.ifftn(x, s=s, axes=axes, norm=norm))
 
 
-@pytest.mark.parametrize('shape', [(6, 10), (4, 9)])
-@pytest.mark.parametrize('norm', [None, 'ortho'])
+@_cover('shape,norm', [(6, 10), (4, 9)], [None, 'ortho'],
+        fast={(0, None), (1, 'ortho')})
 def test_fft2_rfft2_irfft2(shape, norm):
     x = _sig(int(np.prod(shape))).reshape(shape)
     _close(tf.fft2(dsc.from_numpy(x), norm=norm), sft.fft2(x, norm=norm))
@@ -211,8 +230,9 @@ def test_plan_cache_bounded():
 # --------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize('n', [16, 12, 7, 1])
-@pytest.mark.parametrize('type_', [1, 2, 3, 4])
+@_cover('n,type_', [16, 12, 7, 1], [1, 2, 3, 4],
+        fast={(12, 1), (12, 2), (12, 3), (12, 4),
+              (16, 2), (7, 3), (1, 2)})
 def test_dct_dst_types(n, type_):
     if type_ == 1 and n < 2:
         return
@@ -224,8 +244,8 @@ def test_dct_dst_types(n, type_):
            sft.dst(x64, type=type_))
 
 
-@pytest.mark.parametrize('norm', NORMS)
-@pytest.mark.parametrize('type_', [1, 2, 3, 4])
+@_cover('norm,type_', NORMS, [1, 2, 3, 4],
+        fast={(None, 1), ('backward', 2), ('ortho', 3), ('forward', 4)})
 def test_dct_dst_norms_and_inverse(norm, type_):
     n = 11
     x = _sig(n, seed=4)
@@ -238,7 +258,9 @@ def test_dct_dst_norms_and_inverse(norm, type_):
            sft.idst(x64, type=type_, norm=norm))
 
 
-@pytest.mark.parametrize('type_', [1, 2, 3, 4])
+@pytest.mark.parametrize('type_', [
+    pytest.param(1, marks=pytest.mark.slow), 2, 3,
+    pytest.param(4, marks=pytest.mark.slow)])
 def test_dct_roundtrip(type_):
     x = _sig(24, seed=5)
     got = tf.idct(tf.dct(dsc.from_numpy(x), type=type_), type=type_)
@@ -273,12 +295,18 @@ def test_dctn_dstn():
     _close(tf.dctn(dsc.from_numpy(x), type=3, s=(5, 4), axes=(0, 2),
                    norm='ortho'),
            sft.dctn(x64, type=3, s=(5, 4), axes=(0, 2), norm='ortho'))
+    _close(tf.idstn(dsc.from_numpy(x), type=4, norm='forward'),
+           sft.idstn(x64, type=4, norm='forward'))
+
+
+@pytest.mark.slow
+def test_dctn_dstn_more():
+    x = _sig(4 * 6 * 5, seed=8).reshape(4, 6, 5)
+    x64 = x.astype(np.float64)
     _close(tf.idctn(dsc.from_numpy(x), type=2),
            sft.idctn(x64, type=2))
     _close(tf.dstn(dsc.from_numpy(x), type=2, axes=(1,)),
            sft.dstn(x64, type=2, axes=(1,)))
-    _close(tf.idstn(dsc.from_numpy(x), type=4, norm='forward'),
-           sft.idstn(x64, type=4, norm='forward'))
 
 
 def test_dct_errors():
@@ -296,8 +324,8 @@ def test_dct_errors():
 # --------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize('n', [16, 15])
-@pytest.mark.parametrize('mu', [0.0, 0.5, 2.0])
+@_cover('n,mu', [16, 15], [0.0, 0.5, 2.0],
+        fast={(16, 0.0), (15, 0.5), (16, 2.0)})
 def test_fht_ifht(n, mu):
     a = _sig(n, seed=9).astype(np.float32)
     a64 = a.astype(np.float64)
