@@ -40,7 +40,179 @@ from dsc_tpu.fourier.pallas_stream_t import _dot  # noqa: E402
 
 N1, M2 = 4096, 2048
 MODE = 'pair'
-K = 4
+K = 16
+
+
+def _pa_pipe2_kernel(n1, m2, mode, *refs):
+    """Distance-2 software-pipelined packed phase A, take 2:
+
+    - c scratch over FOUR sets (t % 4): vpu(t-2) reads set (t-2)%4 while
+      mxu(t) writes set t%4 — different memrefs, so no WAR hazard can
+      make Mosaic serialize the matmuls behind the reads (the take-1
+      kernel shared one set per parity).
+    - in-DMA keeps the full one-tile lead of _pipe2 (take 1 started the
+      copy in the same iteration that waits it — the vpu_part between
+      start and wait gave only ~12 us of lead for a ~13 us transfer).
+    """
+    (x2, zr, zi, zbr, zbi) = refs
+    n_tiles = m2 // LANES
+    T = n1 // LANES
+    r1 = 1 << ((n1.bit_length() - 1) // 2)
+    r2 = n1 // r1
+    n = n1 * m2
+
+    def body(bufs0, bufs1, c_r0, c_r1, c_r2, c_r3, c_i0, c_i1, c_i2, c_i3,
+             outs_r0, outs_r1, outs_i0, outs_i1,
+             zb_r0, zb_r1, zb_i0, zb_i1, in_sems, out_sems):
+        bufs = (bufs0, bufs1)
+        c_r = (c_r0, c_r1, c_r2, c_r3)
+        c_i = (c_i0, c_i1, c_i2, c_i3)
+        outs_r = (outs_r0, outs_r1)
+        outs_i = (outs_i0, outs_i1)
+        zb_r = (zb_r0, zb_r1)
+        zb_i = (zb_i0, zb_i1)
+
+        def in_dma(s, t):
+            off = pl.multiple_of(t * jnp.int32(2 * LANES), 2 * LANES)
+            return [pltpu.make_async_copy(
+                x2.at[_ds0(n1), pl.ds(off, 2 * LANES)], bufs[s],
+                in_sems.at[jnp.int32(s), jnp.int32(0)])]
+
+        def out_dma(s, t):
+            roff = pl.multiple_of(t * jnp.int32(LANES), LANES)
+            coff = pl.multiple_of(t * jnp.int32(LANES), LANES)
+            return [
+                pltpu.make_async_copy(
+                    outs_r[s], zr.at[pl.ds(roff, LANES), _ds0(n1)],
+                    out_sems.at[jnp.int32(s), jnp.int32(0)]),
+                pltpu.make_async_copy(
+                    outs_i[s], zi.at[pl.ds(roff, LANES), _ds0(n1)],
+                    out_sems.at[jnp.int32(s), jnp.int32(1)]),
+                pltpu.make_async_copy(
+                    zb_r[s], zbr.at[_ds0(BREP * T), pl.ds(coff, LANES)],
+                    out_sems.at[jnp.int32(s), jnp.int32(2)]),
+                pltpu.make_async_copy(
+                    zb_i[s], zbi.at[_ds0(BREP * T), pl.ds(coff, LANES)],
+                    out_sems.at[jnp.int32(s), jnp.int32(3)]),
+            ]
+
+        mats1, mats2, tr, ti = _gen_dft_tables(n1, r1, r2, -1, mode)
+        sel = _sel_even_odd(False)
+        two_pi_over_n = jnp.float32(-2.0 * np.pi / n)
+        k1_io = jax.lax.broadcasted_iota(jnp.int32, (r1, LANES), 0)
+        cu_io = jax.lax.broadcasted_iota(jnp.int32, (r1, LANES), 1)
+        k2r1_io = jax.lax.broadcasted_iota(
+            jnp.int32, (r2, LANES), 0) * jnp.int32(r1)
+        cv_io = jax.lax.broadcasted_iota(jnp.int32, (r2, LANES), 1)
+
+        def mxu_part(s2, s4, t):
+            eo = _sel_dot(bufs[s2][:], sel)
+            cr, ci = _dft_slab(eo[:, :LANES], eo[:, LANES:], n1, r1, r2,
+                               mats1, mats2, tr, ti)
+            c_r[s4][:] = cr
+            c_i[s4][:] = ci
+
+        def vpu_part(s4, u):
+            col = jnp.int32(LANES) * u
+            phu = jax.lax.rem(k1_io * (col + cu_io), jnp.int32(n)) \
+                .astype(jnp.float32) * two_pi_over_n
+            phv = jax.lax.rem(k2r1_io * (col + cv_io), jnp.int32(n)) \
+                .astype(jnp.float32) * two_pi_over_n
+            ur, ui = jnp.cos(phu), jnp.sin(phu)
+            vr_, vi_ = jnp.cos(phv), jnp.sin(phv)
+            so = s4 % 2  # python int: u % 2 == s4 % 2 by construction
+
+            @pl.when(u >= 2)
+            def _():
+                for cp in out_dma(so, u - 2):
+                    cp.wait()
+
+            y3r = c_r[s4][:].reshape(r2, r1, LANES)
+            y3i = c_i[s4][:].reshape(r2, r1, LANES)
+            ar_ = y3r * ur[None] - y3i * ui[None]
+            ai_ = y3r * ui[None] + y3i * ur[None]
+            yr = (ar_ * vr_[:, None]
+                  - ai_ * vi_[:, None]).reshape(n1, LANES)
+            yi = (ar_ * vi_[:, None]
+                  + ai_ * vr_[:, None]).reshape(n1, LANES)
+            zb_r[so][:] = jnp.concatenate(
+                [yr[j * LANES:j * LANES + BREP, :] for j in range(T)],
+                axis=0)
+            zb_i[so][:] = jnp.concatenate(
+                [yi[j * LANES:j * LANES + BREP, :] for j in range(T)],
+                axis=0)
+            for j in range(T):
+                lo, hi = j * LANES, (j + 1) * LANES
+                outs_r[so][:, lo:hi] = yr[lo:hi, :].T
+                outs_i[so][:, lo:hi] = yi[lo:hi, :].T
+            for cp in out_dma(so, u):
+                cp.start()
+
+        # prologue: tiles 0, 1 mxu-only, with in(2) started after mxu(0)
+        # frees bufs[0]
+        for cp in in_dma(0, jnp.int32(0)):
+            cp.start()
+        for cp in in_dma(1, jnp.int32(1)):
+            cp.start()
+        for cp in in_dma(0, jnp.int32(0)):
+            cp.wait()
+        mxu_part(0, 0, jnp.int32(0))
+        for cp in in_dma(0, jnp.int32(2)):
+            cp.start()
+        for cp in in_dma(1, jnp.int32(1)):
+            cp.wait()
+        mxu_part(1, 1, jnp.int32(1))
+
+        # main loop: tiles 2..n_tiles-1, 4-way parity unroll
+        def body4(i, carry):
+            for j in range(4):
+                t = 4 * i + j + 2  # traced; buffer sets from python j
+                s2 = j % 2
+                s4 = (j + 2) % 4
+
+                @pl.when(t < n_tiles)
+                def _():
+                    @pl.when(t + 1 < n_tiles)
+                    def _():
+                        for cp in in_dma(1 - s2, t + 1):
+                            cp.start()
+                    vpu_part(j, t - 2)  # (t-2) % 4 == j
+                    for cp in in_dma(s2, t):
+                        cp.wait()
+                    mxu_part(s2, s4, t)
+            return carry
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32((n_tiles - 2 + 3) // 4),
+                          body4, jnp.int32(0))
+        vpu_part((n_tiles - 2) % 4, jnp.int32(n_tiles - 2))
+        vpu_part((n_tiles - 1) % 4, jnp.int32(n_tiles - 1))
+        for u in (n_tiles - 2, n_tiles - 1):
+            for cp in out_dma(u % 2, jnp.int32(u)):
+                cp.wait()
+
+    pl.run_scoped(
+        body,
+        bufs0=pltpu.VMEM((N1, 2 * LANES), jnp.float32),
+        bufs1=pltpu.VMEM((N1, 2 * LANES), jnp.float32),
+        c_r0=pltpu.VMEM((N1, LANES), jnp.float32),
+        c_r1=pltpu.VMEM((N1, LANES), jnp.float32),
+        c_r2=pltpu.VMEM((N1, LANES), jnp.float32),
+        c_r3=pltpu.VMEM((N1, LANES), jnp.float32),
+        c_i0=pltpu.VMEM((N1, LANES), jnp.float32),
+        c_i1=pltpu.VMEM((N1, LANES), jnp.float32),
+        c_i2=pltpu.VMEM((N1, LANES), jnp.float32),
+        c_i3=pltpu.VMEM((N1, LANES), jnp.float32),
+        outs_r0=pltpu.VMEM((LANES, N1), jnp.float32),
+        outs_r1=pltpu.VMEM((LANES, N1), jnp.float32),
+        outs_i0=pltpu.VMEM((LANES, N1), jnp.float32),
+        outs_i1=pltpu.VMEM((LANES, N1), jnp.float32),
+        zb_r0=pltpu.VMEM((BREP * (N1 // LANES), LANES), jnp.float32),
+        zb_r1=pltpu.VMEM((BREP * (N1 // LANES), LANES), jnp.float32),
+        zb_i0=pltpu.VMEM((BREP * (N1 // LANES), LANES), jnp.float32),
+        zb_i1=pltpu.VMEM((BREP * (N1 // LANES), LANES), jnp.float32),
+        in_sems=pltpu.SemaphoreType.DMA((2, 1)),
+        out_sems=pltpu.SemaphoreType.DMA((2, 4)),
+    )
 
 
 def _pa_pipe_kernel(n1, m2, mode, sel_mode, *refs):
@@ -234,10 +406,8 @@ def main():
     calls = {
         'full': make_call(
             functools.partial(_phase_a_packed_kernel, N1, M2, MODE)),
-        'pipe': make_call(
-            functools.partial(_pa_pipe_kernel, N1, M2, MODE, 'sel2')),
-        'sel1': make_call(
-            functools.partial(_pa_pipe_kernel, N1, M2, MODE, 'sel1')),
+        'pipe2': make_call(
+            functools.partial(_pa_pipe2_kernel, N1, M2, MODE)),
     }
 
     # correctness: pipe/sel1 vs full (same partial products -> exact for
